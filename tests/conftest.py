@@ -1,0 +1,40 @@
+"""Test harness configuration.
+
+Tests run on CPU with a virtual 8-device mesh so that the multi-chip sharding path
+(`spnerf_tpu.parallel`) is exercised without TPU hardware (see SURVEY.md section 4).
+Environment must be set before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_DATASET = "/root/reference/Dataset/DFC2019_269"
+
+
+@pytest.fixture(scope="session")
+def dfc269_json_dir():
+    path = os.path.join(REFERENCE_DATASET, "JSON")
+    if not os.path.isdir(path):
+        pytest.skip("bundled DFC2019_269 dataset not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def dfc269_root():
+    if not os.path.isdir(REFERENCE_DATASET):
+        pytest.skip("bundled DFC2019_269 dataset not available")
+    return REFERENCE_DATASET
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
