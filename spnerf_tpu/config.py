@@ -1,0 +1,248 @@
+"""Configuration: flag surface, derived paths, and semantic class tables.
+
+Mirrors the reference CLI contract (`Train_parser`, /root/reference/modules/opt.py:11-139)
+flag-for-flag so a user of the reference can switch without relearning the interface,
+while fixing its documented quirks:
+
+  * `--dataset_dir` is a real flag (the reference hard-codes
+    `<project>/dataset/DFC2019_269`, /root/reference/modules/opt.py:112-114);
+  * `--exp_name` gets a timestamp suffix only when `--timestamp_exp_name` is set
+    (default on, matching the reference behavior);
+  * everything relevant to jit is carried in hashable frozen dataclasses so the
+    train step compiles exactly once.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture parameters of the SPNeRF field (hashable, jit-static)."""
+
+    fc_layers: int = 8
+    fc_units: int = 512
+    skips: Tuple[int, ...] = (4,)
+    mapping: bool = False
+    mapping_sizes: Tuple[int, int] = (10, 4)
+    siren: bool = True
+    num_sem_classes: int = 5
+    s_embedding_factor: int = 1
+    t_embedding_dims: int = 4
+    beta: bool = False
+    sem: bool = False
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering parameters (hashable, jit-static)."""
+
+    n_samples: int = 64
+    n_importance: int = 0
+    guidedsample: bool = False
+    solar_correction: bool = False  # derived from sc_lambda > 0
+    beta: bool = False
+    sem: bool = False
+    perturb: float = 1.0  # reference hard-codes 1.0 (modules/rendering.py:125)
+    compute_dtype: str = "float32"  # "bfloat16" on TPU for the MLP matmuls
+    use_pallas: bool = False  # fused Pallas MLP kernel for the field evaluation
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Static loss parameters (hashable, jit-static)."""
+
+    sc_lambda: float = 0.0
+    beta: bool = False
+    ds_lambda: float = 0.0
+    depth: bool = False
+    gnll: bool = False
+    usealldepth: bool = False
+    margin: float = 0.0001
+    stdscale: float = 1.0
+    sem: bool = False
+    ss_lambda: float = 4e-2
+    first_beta_epoch: int = 2
+
+
+SEMANTIC_CONFIG = {
+    3: {
+        "color_mapping": {0: [0, 255, 0], 1: [255, 0, 0], 2: [0, 0, 255]},
+        "class_mapping": {0: 2, 1: 6, 2: 9},
+        "semantic_names": {0: "Ground", 1: "Buildings", 2: "Water"},
+        "label_mapping": {2: 0, 6: 1, 9: 2},
+    },
+    4: {
+        "color_mapping": {0: [0, 255, 0], 1: [0, 128, 0], 2: [255, 0, 0], 3: [0, 0, 255]},
+        "class_mapping": {0: 2, 1: 5, 2: 6, 3: 9},
+        "semantic_names": {0: "Ground", 1: "Trees", 2: "Buildings", 3: "Water"},
+        "label_mapping": {2: 0, 5: 1, 6: 2, 9: 3},
+    },
+    5: {
+        "color_mapping": {
+            0: [0, 255, 0],
+            1: [0, 128, 0],
+            2: [255, 0, 0],
+            3: [0, 0, 255],
+            4: [255, 255, 0],
+        },
+        "class_mapping": {0: 2, 1: 5, 2: 6, 3: 9, 4: 17},
+        "semantic_names": {
+            0: "Ground",
+            1: "Trees",
+            2: "Buildings",
+            3: "Water",
+            4: "Bridge/Elevated Road",
+        },
+        "label_mapping": {2: 0, 5: 1, 6: 2, 9: 3, 17: 4},
+    },
+}
+
+IGNORE_LABEL = -100
+
+
+def build_train_parser():
+    """Argparse surface, flag-compatible with the reference Train_parser."""
+    p = argparse.ArgumentParser(description="Train SP-NeRF (TPU-native)")
+    # input / output paths
+    p.add_argument("--project_dir", type=str, required=True)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--dataset_name", type=str, default="DFC2019_269",
+                   help="dataset directory name under <project_dir>/dataset "
+                        "(the reference hard-codes DFC2019_269)")
+    p.add_argument("--dataset_dir", type=str, default=None,
+                   help="explicit dataset dir (overrides --dataset_name)")
+    # basic
+    p.add_argument("--aoi_id", type=str, required=True)
+    p.add_argument("--model", type=str, default="sp-nerf")
+    p.add_argument("--exp_name", type=str, default=None)
+    p.add_argument("--gpu_id", type=int, default=0,
+                   help="accepted for CLI compatibility; device selection is "
+                        "handled by JAX")
+    # training / network
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--img_downscale", type=float, default=1.0)
+    p.add_argument("--max_train_steps", type=int, default=500000)
+    p.add_argument("--save_every_n_epochs", type=int, default=2)
+    p.add_argument("--fc_units", type=int, default=512)
+    p.add_argument("--fc_layers", type=int, default=8)
+    p.add_argument("--n_samples", type=int, default=64)
+    p.add_argument("--n_importance", type=int, default=0)
+    p.add_argument("--noise_std", type=float, default=0.0)
+    p.add_argument("--chunk", type=int, default=1024 * 5)
+    # solar correction
+    p.add_argument("--sc_lambda", type=float, default=0.0)
+    # uncertainty
+    p.add_argument("--beta", action="store_true")
+    p.add_argument("--first_beta_epoch", type=int, default=2)
+    p.add_argument("--t_embbeding_tau", type=int, default=4)
+    p.add_argument("--t_embbeding_vocab", type=int, default=30)
+    # depth supervision
+    p.add_argument("--depth", action="store_true")
+    p.add_argument("--ds_lambda", type=float, default=0.0)
+    p.add_argument("--ds_drop", type=float, default=0.25)
+    p.add_argument("--GNLL", action="store_true")
+    p.add_argument("--usealldepth", action="store_true")
+    p.add_argument("--margin", type=float, default=0.0001)
+    p.add_argument("--stdscale", type=float, default=1.0)
+    # semantic supervision
+    p.add_argument("--sem", action="store_true")
+    p.add_argument("--num_sem_classes", type=int, default=5)
+    p.add_argument("--s_embedding_factor", type=int, default=1)
+    p.add_argument("--sem_downscale", type=float, default=8.0)
+    p.add_argument("--ignore_label", type=int, default=-100)
+    p.add_argument("--dense_ss", action="store_true")
+    p.add_argument("--ss_lambda", type=float, default=4e-2)
+    p.add_argument("--ss_drop", type=float, default=1.0)
+    # strategies
+    p.add_argument("--mapping", action="store_true")
+    p.add_argument("--guidedsample", action="store_true")
+    # TPU-native extras (not in the reference)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"],
+                   help="MLP matmul precision (reference uses AMP fp16)")
+    p.add_argument("--data_axis", type=int, default=0,
+                   help="number of devices for ray data-parallelism; 0 = all")
+    p.add_argument("--no_timestamp_exp_name", action="store_true")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="use the fused Pallas field-evaluation kernel")
+    p.add_argument("--check_val_every_n_epoch", type=int, default=2)
+    return p
+
+
+def finalize_args(args, make_dirs=True):
+    """Derive dataset/output paths, mirroring /root/reference/modules/opt.py:112-137."""
+    if args.dataset_dir is None:
+        args.dataset_dir = os.path.join(args.project_dir, "dataset", args.dataset_name)
+    args.depth_dir = os.path.join(args.dataset_dir, "Depth")
+    args.json_dir = os.path.join(args.dataset_dir, "JSON")
+    args.img_dir = os.path.join(args.dataset_dir, "RGB", args.aoi_id)
+    args.sem_dir = os.path.join(args.dataset_dir, "Semantic")
+    args.gt_dir = os.path.join(args.dataset_dir, "Truth")
+
+    if args.exp_name is None:
+        args.exp_name = args.aoi_id
+    if not getattr(args, "no_timestamp_exp_name", False):
+        args.exp_name = f"{args.exp_name}-{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}"
+
+    args.output_dir = os.path.join(args.project_dir, "output", args.exp_name)
+    args.cache_dir = os.path.join(args.output_dir, "cache")
+    args.ckpts_dir = os.path.join(args.output_dir, "ckpts")
+    args.logs_dir = os.path.join(args.output_dir, "logs")
+    if make_dirs:
+        os.makedirs(args.logs_dir, exist_ok=True)
+        with open(os.path.join(args.logs_dir, "opts.json"), "w") as f:
+            json.dump({k: v for k, v in vars(args).items()}, f, indent=2, default=str)
+    return args
+
+
+def model_config_from_args(args) -> ModelConfig:
+    return ModelConfig(
+        fc_layers=args.fc_layers,
+        fc_units=args.fc_units,
+        mapping=args.mapping,
+        num_sem_classes=args.num_sem_classes,
+        s_embedding_factor=args.s_embedding_factor,
+        t_embedding_dims=args.t_embbeding_tau,
+        beta=args.beta,
+        sem=args.sem,
+    )
+
+
+def render_config_from_args(args) -> RenderConfig:
+    return RenderConfig(
+        n_samples=args.n_samples,
+        n_importance=args.n_importance,
+        guidedsample=args.guidedsample,
+        solar_correction=args.sc_lambda > 0,
+        beta=args.beta,
+        sem=args.sem,
+        compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
+        use_pallas=getattr(args, "use_pallas", False),
+    )
+
+
+def loss_config_from_args(args) -> LossConfig:
+    return LossConfig(
+        sc_lambda=args.sc_lambda,
+        beta=args.beta,
+        ds_lambda=args.ds_lambda,
+        depth=args.depth,
+        gnll=args.GNLL,
+        usealldepth=args.usealldepth,
+        margin=args.margin,
+        stdscale=args.stdscale,
+        sem=args.sem,
+        ss_lambda=args.ss_lambda,
+        first_beta_epoch=args.first_beta_epoch,
+    )
+
+
+def asdict(cfg):
+    return dataclasses.asdict(cfg)

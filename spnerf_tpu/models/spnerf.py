@@ -1,0 +1,227 @@
+"""SPNeRF field as a flax module, TPU-first.
+
+Re-implements the semantics of the reference network
+(/root/reference/models/spnerf.py:162-369) — Shadow-NeRF MLP with sinusoidal
+positional mapping, Siren activations and their dedicated inits, a semantic-label
+embedding concatenated to the encoded position, skip connections, and heads for
+sigma / albedo rgb / sun visibility / sky color / optional beta uncertainty /
+optional semantic logits — but as a functional flax model designed for XLA:
+
+  * one `apply` over a flat (N, ...) batch of points; no python chunk loops
+    (the reference chunks at models/spnerf.py:93-107 purely for GPU memory);
+  * matmuls run in a configurable compute dtype (bfloat16 on TPU, mirroring the
+    reference's AMP fp16, main.py:334) with float32 params and accumulation;
+  * initializers reproduce the reference's distributions: torch Linear default
+    U(+-1/sqrt(fan_in)) everywhere, overridden by sine_init U(+-sqrt(6/fan_in))
+    on the trunk/sun-branch and first_layer_sine_init U(+-1/fan_in) on their
+    first layers (models/spnerf.py:49-60,251-255).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import ModelConfig
+
+
+def positional_mapping(x, n_freqs, logscale=True):
+    """Sinusoidal mapping x -> (sin(2^k x), cos(2^k x))_k.
+
+    Matches the reference `Mapping.forward` (/root/reference/models/spnerf.py:22-37):
+    despite its docstring, the identity term is NOT included, and the concatenation
+    order is [sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...].
+    Output size: in_dims * 2 * n_freqs.
+    """
+    if logscale:
+        freqs = 2.0 ** jnp.arange(n_freqs, dtype=x.dtype)
+    else:
+        freqs = jnp.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs, dtype=x.dtype)
+    parts = []
+    for k in range(n_freqs):
+        parts.append(jnp.sin(freqs[k] * x))
+        parts.append(jnp.cos(freqs[k] * x))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _uniform_init(bound_fn):
+    """Uniform init with a bound that depends on fan_in = shape[0] (flax kernels
+    are (fan_in, fan_out))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = bound_fn(shape[0])
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+torch_linear_init = _uniform_init(lambda fan_in: 1.0 / np.sqrt(fan_in))
+# Siren trunk init (reference sine_init, models/spnerf.py:49-53)
+sine_init = _uniform_init(lambda fan_in: np.sqrt(6.0 / fan_in))
+# Siren first-layer init (reference first_layer_sine_init, models/spnerf.py:56-60)
+first_layer_sine_init = _uniform_init(lambda fan_in: 1.0 / fan_in)
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch-default bias init (U(+-1/sqrt(fan_in))) and a
+    selectable kernel init; computes in `compute_dtype` with float32 params and
+    float32 accumulation on the MXU."""
+
+    features: int
+    kernel_init_name: str = "torch"  # "torch" | "sine" | "first_sine"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel_init = {
+            "torch": torch_linear_init,
+            "sine": sine_init,
+            "first_sine": first_layer_sine_init,
+        }[self.kernel_init_name]
+        kernel = self.param("kernel", kernel_init, (fan_in, self.features))
+        bias = self.param(
+            "bias", _uniform_init(lambda _: 1.0 / np.sqrt(fan_in)), (self.features,)
+        )
+        y = jnp.dot(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias
+
+
+def siren(x, w0=1.0):
+    return jnp.sin(w0 * x)
+
+
+class SPNeRF(nn.Module):
+    """The SP-NeRF radiance/semantics field.
+
+    __call__(xyz, sun_d, t_emb, sem_labels) -> dict with:
+      rgb (N,3) in [-pad, 1+pad], sigma (N,), sun_v (N,1), sky (N,3),
+      optionally beta (N,1) and sem_logits (N,C).
+
+    xyz: (N, 3) normalized scene coordinates
+    sun_d: (N, 3) sun direction unit vectors
+    t_emb: (N, T) transient embedding (only used when cfg.beta)
+    sem_labels: (N,) int32 semantic labels in [0, C) or IGNORE (-100)
+    """
+
+    cfg: ModelConfig
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None, sigma_only=False):
+        cfg = self.cfg
+        act = (lambda v: siren(v)) if cfg.siren else jax.nn.relu
+        dense = lambda feats, init="torch": TorchDense(
+            feats, kernel_init_name=init, compute_dtype=self.compute_dtype
+        )
+
+        if cfg.mapping:
+            x_in = positional_mapping(xyz, cfg.mapping_sizes[0])
+        else:
+            x_in = xyz
+
+        if cfg.sem:
+            sem_size = cfg.num_sem_classes * cfg.s_embedding_factor
+            # +1 row is the padding row for invalid labels (-100), kept at zero
+            # like torch's padding_idx (reference models/spnerf.py:190-194).
+            table = self.param(
+                "semantic_embedding",
+                lambda key, shape: jax.random.normal(key, shape)
+                .at[cfg.num_sem_classes]
+                .set(0.0),
+                (cfg.num_sem_classes + 1, sem_size),
+            )
+            labels = jnp.where(
+                sem_labels < 0, cfg.num_sem_classes, sem_labels
+            ).astype(jnp.int32)
+            sem_emb = jnp.take(table, labels, axis=0)
+            x_in = jnp.concatenate([x_in, sem_emb.astype(x_in.dtype)], axis=-1)
+
+        # trunk with skip connections (reference models/spnerf.py:202-209,323-330)
+        first_init = "first_sine" if cfg.siren else "torch"
+        trunk_init = "sine" if cfg.siren else "torch"
+        h = dense(cfg.fc_units, first_init)(x_in)
+        h = siren(h, 30.0) if cfg.siren else act(h)
+        for i in range(1, cfg.fc_layers):
+            if i in cfg.skips:
+                h = jnp.concatenate([h, x_in], axis=-1)
+            h = dense(cfg.fc_units, trunk_init)(h)
+            h = act(h)
+        shared = h
+
+        sigma = jax.nn.softplus(dense(1)(shared))[..., 0]
+        if sigma_only:
+            return {"sigma": sigma}
+
+        feats = dense(cfg.fc_units)(shared)
+
+        # albedo rgb head (no view-direction input in sp-nerf: input_sizes[1]=0,
+        # reference models/spnerf.py:170,341-347)
+        r = dense(cfg.fc_units // 2)(feats)
+        r = act(r)
+        rgb = jax.nn.sigmoid(dense(3)(r))
+        rgb_padding = 0.001
+        rgb = rgb * (1 + 2 * rgb_padding) - rgb_padding
+
+        # sun visibility branch (3 hidden siren layers, reference :234-241)
+        s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
+        s = dense(cfg.fc_units // 2, first_init)(s)
+        s = act(s)
+        for _ in range(1, 3):
+            s = dense(cfg.fc_units // 2, trunk_init)(s)
+            s = act(s)
+        sun_v = jax.nn.sigmoid(dense(1, trunk_init)(s))
+
+        # ambient sky color from the sun direction alone (reference :244-249)
+        k = dense(cfg.fc_units // 2)(sun_d)
+        k = jax.nn.relu(k)
+        sky = jax.nn.sigmoid(dense(3)(k))
+
+        out = {"rgb": rgb, "sigma": sigma, "sun_v": sun_v, "sky": sky}
+
+        if cfg.beta:
+            b = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+            b = dense(cfg.fc_units // 2)(b)
+            b = act(b)
+            out["beta"] = jax.nn.softplus(dense(1)(b))
+
+        if cfg.sem:
+            g = dense(cfg.fc_units // 2)(shared)
+            g = act(g)
+            out["sem_logits"] = dense(cfg.num_sem_classes)(g)
+
+        return out
+
+
+class TransientEmbedding(nn.Module):
+    """Per-image transient embedding used by the beta/uncertainty path
+    (reference main.py:56-57: torch.nn.Embedding(vocab, tau))."""
+
+    vocab: int
+    dims: int
+
+    @nn.compact
+    def __call__(self, ts):
+        table = self.param(
+            "embedding", lambda key, shape: jax.random.normal(key, shape),
+            (self.vocab, self.dims),
+        )
+        return jnp.take(table, jnp.asarray(ts, jnp.int32), axis=0)
+
+
+def init_spnerf(key, cfg: ModelConfig, compute_dtype=jnp.float32):
+    """Create a model + params pair with dummy inputs."""
+    model = SPNeRF(cfg=cfg, compute_dtype=compute_dtype)
+    xyz = jnp.zeros((2, 3), jnp.float32)
+    sun_d = jnp.zeros((2, 3), jnp.float32)
+    t_emb = jnp.zeros((2, cfg.t_embedding_dims), jnp.float32) if cfg.beta else None
+    sem = jnp.zeros((2,), jnp.int32) if cfg.sem else None
+    params = model.init(key, xyz, sun_d, t_emb, sem)
+    return model, params

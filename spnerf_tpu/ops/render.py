@@ -1,0 +1,163 @@
+"""The ray renderer: coarse stratified pass, optional depth-guided resampling,
+optional solar-correction pass along the sun direction, optional fine
+(hierarchical) pass. Functional JAX version of
+/root/reference/modules/rendering.py:119-218.
+
+The field is abstracted as `field_apply(xyz, sun_d, t_emb, sem_labels) -> dict`
+over flat (N, ...) point batches (bind `model.apply` + params, or the fused
+Pallas kernel). The whole renderer is shape-static and jit-safe; there is no
+chunking — memory is managed by XLA and, at eval time, by the caller batching
+rays (the reference's python chunk loops at main.py:60-73 and
+models/spnerf.py:93-107 exist only to fit GPU memory).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from .compositing import composite
+from .sampling import guided_samples, sample_pdf, stratified_z_vals
+
+
+def _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems):
+    """Evaluate the field on every (ray, sample) point.
+
+    rays_o, ray_dirs, sun_d: (R, 3); z_vals: (R, S);
+    t_emb: (R, T) or None; sems: (R,) int or None.
+    Returns per-sample dict with arrays (R, S, ...).
+    """
+    n_rays, n_samples = z_vals.shape
+    xyz = rays_o[:, None, :] + ray_dirs[:, None, :] * z_vals[:, :, None]
+    xyz_flat = xyz.reshape(-1, 3)
+    sun_flat = jnp.broadcast_to(sun_d[:, None, :], (n_rays, n_samples, 3)).reshape(-1, 3)
+    t_flat = (
+        None
+        if t_emb is None
+        else jnp.broadcast_to(
+            t_emb[:, None, :], (n_rays, n_samples, t_emb.shape[-1])
+        ).reshape(-1, t_emb.shape[-1])
+    )
+    sem_flat = (
+        None
+        if sems is None
+        else jnp.broadcast_to(sems[:, None], (n_rays, n_samples)).reshape(-1)
+    )
+    out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat)
+    return {k: v.reshape((n_rays, n_samples) + v.shape[1:]) for k, v in out.items()}
+
+
+def _inference(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems,
+               noise_std, key):
+    field_out = _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems)
+    return composite(field_out, z_vals, noise_std=noise_std, key=key)
+
+
+def render_rays(
+    field_apply,
+    rc: RenderConfig,
+    rays,
+    t_emb=None,
+    sems=None,
+    key=None,
+    train=False,
+    valid_depth=None,
+    target_depths=None,
+    target_std=None,
+    noise_std=0.0,
+    fine_field_apply=None,
+):
+    """Render a batch of rays.
+
+    rays: (R, 11) float32 — columns 0:3 origin, 3:6 unit direction, 6 near,
+      7 far, 8:11 sun direction (the reference ray layout,
+      /root/reference/datasets/satellite_scene.py:167-171,217).
+    t_emb: (R, T) transient embeddings (beta path) or None.
+    sems: (R,) int semantic labels (or None).
+    train: python bool (static) — enables guided sampling against target depths.
+    valid_depth: (R,), target_depths: (R, 2) [depth, weight], target_std: (R,).
+    noise_std: dynamic scalar sigma-noise (decayed per step by the caller).
+    fine_field_apply: field for the fine pass (defaults to `field_apply`).
+
+    Returns a dict with `_coarse` (and `_fine`) suffixed keys exactly like the
+    reference renderer, e.g. rgb_coarse (R,3), depth_coarse (R,),
+    weights_coarse (R,S'), sun_sc_coarse, ...
+    """
+    if fine_field_apply is None:
+        fine_field_apply = field_apply
+    keys = {}
+    if key is not None:
+        names = ["strat", "noise0", "guided", "noise1", "sc_noise", "pdf",
+                 "noise_fine", "sc_noise_fine"]
+        for name, k in zip(names, jax.random.split(key, len(names))):
+            keys[name] = k
+    get = keys.get
+
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    sun_d = rays[:, 8:11]
+    near0, far0 = near[0, 0], far[0, 0]
+
+    z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples, rc.perturb)
+    result = _inference(
+        field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
+        noise_std, get("noise0"),
+    )
+
+    if rc.guidedsample:
+        z_vals_2 = guided_samples(
+            get("guided"),
+            result["depth"],
+            result["weights"],
+            z_vals,
+            rc.n_samples,
+            det=(rc.perturb == 0.0),
+            near=near0,
+            far=far0,
+            train=train,
+            valid_depth=valid_depth,
+            target_depth=None if target_depths is None else target_depths[:, 0],
+            target_std=target_std,
+        )
+        z_vals_2 = jax.lax.stop_gradient(jnp.sort(z_vals_2, axis=-1))
+        z_vals_unsort = jnp.concatenate([z_vals, z_vals_2], axis=-1)
+        z_vals = jnp.sort(z_vals_unsort, axis=-1)
+        result = _inference(
+            field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
+            noise_std, get("noise1"),
+        )
+        result["z_vals_unsort"] = z_vals_unsort
+
+    if rc.solar_correction:
+        sc = _inference(
+            field_apply, rays_o, sun_d, z_vals, sun_d, t_emb, sems,
+            noise_std, get("sc_noise"),
+        )
+        result["weights_sc"] = sc["weights"]
+        result["transparency_sc"] = sc["transparency"]
+        result["sun_sc"] = sc["sun"]
+
+    out = {f"{k}_coarse": v for k, v in result.items()}
+
+    if rc.n_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_extra = sample_pdf(
+            get("pdf"), z_mid, out["weights_coarse"][:, 1:-1],
+            rc.n_importance, det=(rc.perturb == 0.0),
+        )
+        z_extra = jax.lax.stop_gradient(z_extra)
+        z_fine = jnp.sort(jnp.concatenate([z_vals, z_extra], axis=-1), axis=-1)
+        fine = _inference(
+            fine_field_apply, rays_o, rays_d, z_fine, sun_d, t_emb, sems,
+            noise_std, get("noise_fine"),
+        )
+        if rc.solar_correction:
+            sc = _inference(
+                fine_field_apply, rays_o, sun_d, z_fine, sun_d, t_emb, sems,
+                noise_std, get("sc_noise_fine"),
+            )
+            fine["weights_sc"] = sc["weights"]
+            fine["transparency_sc"] = sc["transparency"]
+            fine["sun_sc"] = sc["sun"]
+        out.update({f"{k}_fine": v for k, v in fine.items()})
+
+    return out

@@ -1,0 +1,142 @@
+"""Ray sampling ops: stratified, inverse-CDF importance, and depth-guided 3-sigma.
+
+Functional, shape-static JAX versions of /root/reference/modules/rendering.py:14-116.
+The reference's data-dependent control flow (boolean-mask host round-trips in
+`GenerateGuidedSamples`, modules/rendering.py:98-115) becomes mask-based `where`
+selection so everything stays inside one jitted program.
+
+All randomness is keyed: pass `key=None` for the deterministic variant.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def stratified_z_vals(key, near, far, n_samples, perturb=1.0):
+    """Linear-in-depth stratified samples with jittering.
+
+    Reference semantics: modules/rendering.py:131-144 (use_disp=False branch).
+    near, far: (R, 1); returns (R, n_samples).
+    """
+    z_steps = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    z_vals = near * (1.0 - z_steps) + far * z_steps  # (R, S)
+    if perturb > 0 and key is not None:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([z_mid, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], z_mid], axis=-1)
+        u = perturb * jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * u
+    return z_vals
+
+
+def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
+    """Inverse-CDF sampling of `n_importance` points from per-ray histograms.
+
+    bins: (R, M+1) bin edges; weights: (R, M). Returns (R, n_importance).
+    Reference semantics: modules/rendering.py:14-55.
+    """
+    n_rays, m = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, M+1)
+
+    if det or key is None:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype),
+            (n_rays, n_importance),
+        )
+    else:
+        u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, m)
+    above = jnp.clip(inds, 0, m)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)
+
+
+def sample_3sigma(key, low_3sigma, high_3sigma, n, det, near, far):
+    """Gaussian-shaped sampling between per-ray [low, high] bounds clamped to
+    the scene [near, far] scalars. Reference: modules/rendering.py:58-73.
+
+    low_3sigma, high_3sigma: (R,); near, far: scalars. Returns (R, n).
+    """
+    t_vals = jnp.linspace(0.0, 1.0, n, dtype=low_3sigma.dtype)
+    step_size = (high_3sigma - low_3sigma) / (n - 1)  # (R,)
+    bin_edges = jnp.clip(
+        low_3sigma[:, None] * (1.0 - t_vals) + high_3sigma[:, None] * t_vals,
+        near,
+        far,
+    )  # (R, n)
+    # guard degenerate (zero-width) ranges so masked-out rays stay finite
+    safe_step = jnp.where(jnp.abs(step_size) < 1e-12, 1.0, step_size)
+    factor = (bin_edges[:, 1:] - bin_edges[:, :-1]) / safe_step[:, None]
+    x = jnp.linspace(-3.0, 3.0, n - 1, dtype=low_3sigma.dtype)
+    gauss = INV_SQRT_2PI * jnp.exp(-0.5 * x**2)
+    bin_weights = factor * gauss[None, :]
+    return sample_pdf(key, bin_edges, bin_weights, n, det=det)
+
+
+def compute_samples_around_depth(key, depth, weights, z_vals, n_samples, det, near, far):
+    """Resample within 3 sigma of the *predicted* depth distribution.
+
+    Reference: modules/rendering.py:76-89. depth: (R,), weights/z_vals: (R, S).
+    """
+    sampling_std = jnp.sqrt(
+        jnp.sum((z_vals - depth[:, None]) ** 2 * weights, axis=-1)
+    )
+    return sample_3sigma(
+        key, depth - 3.0 * sampling_std, depth + 3.0 * sampling_std,
+        n_samples, det, near, far,
+    )
+
+
+def guided_samples(
+    key,
+    pred_depth,
+    pred_weights,
+    z_vals,
+    n_samples,
+    det,
+    near,
+    far,
+    train,
+    valid_depth=None,
+    target_depth=None,
+    target_std=None,
+):
+    """Depth-guided sampling (SpS-NeRF): sample around the predicted depth, and —
+    in training, for rays with valid stereo depth — around the target depth's
+    3-sigma interval instead. Mask-based version of modules/rendering.py:92-116.
+
+    Returns (R, n_samples) z values (callers should stop_gradient them, as the
+    reference detaches at modules/rendering.py:164).
+    """
+    k1, k2 = (None, None) if key is None else jax.random.split(key)
+    z_pred = compute_samples_around_depth(
+        k1, pred_depth, pred_weights, z_vals, n_samples, det, near, far
+    )
+    if not train:
+        return z_pred
+    assert valid_depth is not None and target_depth is not None
+    valid = valid_depth > 0
+    # keep masked-out rows numerically safe (their samples are discarded below)
+    safe_depth = jnp.where(valid, target_depth, 0.5 * (near + far))
+    safe_std = jnp.where(valid, jnp.maximum(target_std, 1e-12), 1.0)
+    z_gt = sample_3sigma(
+        k2, safe_depth - 3.0 * safe_std, safe_depth + 3.0 * safe_std,
+        n_samples, det, near, far,
+    )
+    return jnp.where(valid[:, None], z_gt, z_pred)

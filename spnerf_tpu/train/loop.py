@@ -1,0 +1,324 @@
+"""The jitted training loop: one XLA program per step, device-resident data.
+
+TPU-native counterpart of the reference's Lightning wiring (/root/reference/main.py:
+19-186 + configure_optimizers at :95-106). Key design differences (intentional,
+documented — not a port):
+
+  * the whole training scene lives on device; a step gathers its ray batch with
+    `jnp.take` from keyed-PRNG indices instead of a host DataLoader
+    (reference main.py:108-115 uses 4 worker processes + H2D copies per step);
+  * there is no chunk loop — XLA sees the full (B, S) render and fuses it
+    (reference main.py:60-73 chunks for GPU memory);
+  * optimizer is optax adam (torch-default hyperparams) with the reference's
+    StepLR(gamma=0.9)-per-epoch schedule as a staircase exponential decay;
+  * sigma noise decays 0.9x per step from `noise_std` (main.py:155) — computed
+    in-graph as noise_std * 0.9^step;
+  * beta warmup (SNerfLoss for the first 2 epochs, main.py:150-153) and the
+    ds/ss drop schedules are traced `where` switches, so one compiled program
+    covers the whole run;
+  * data parallelism shards the ray batch across a 1-D device mesh with
+    `shard_map`; each device gathers from its local scene shard and gradients
+    are `psum`-averaged — per-step semantics match the single-device path.
+"""
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LossConfig, ModelConfig, RenderConfig
+from ..models import SPNeRF, TransientEmbedding
+from ..ops import render_rays
+from . import losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(lr, steps_per_epoch):
+    """StepLR(step_size=1 epoch, gamma=0.9) equivalent
+    (reference modules/utils.py:317-318)."""
+    return optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(int(steps_per_epoch), 1),
+        decay_rate=0.9,
+        staircase=True,
+    )
+
+
+def scene_to_device_arrays(scene, pad_to: Optional[int] = None):
+    """Pack the host scene into the dict of arrays the train step consumes.
+
+    pad_to: optionally pad N up (repeating ray 0 with zero loss weight is not
+    needed — sampling is with replacement, so padding just requires valid rows;
+    we pad by wrapping, which keeps every row a real ray).
+    """
+    n = scene.rays.shape[0]
+    arrays = {
+        "rays": scene.rays,
+        "rgbs": scene.rgbs,
+        "ids": scene.ids.astype(np.int32),
+        "depths": scene.depths,
+        "valid_depth": scene.valid_depth,
+        "depth_std": scene.depth_std,
+        "sems": scene.sems.astype(np.int32),
+    }
+    if pad_to is not None and pad_to > n:
+        idx = np.arange(pad_to) % n
+        arrays = {k: v[idx] for k, v in arrays.items()}
+    return arrays
+
+
+class Trainer:
+    """Owns model configs, optimizer, and the compiled train/render steps."""
+
+    def __init__(
+        self,
+        mc: ModelConfig,
+        rc: RenderConfig,
+        lc: LossConfig,
+        lr=5e-4,
+        steps_per_epoch=1000,
+        max_steps=30000,
+        ds_drop=0.25,
+        ss_drop=1.0,
+        noise_std=0.0,
+        t_vocab=30,
+        mesh: Optional[Mesh] = None,
+        donate=True,
+    ):
+        self.mc, self.rc, self.lc = mc, rc, lc
+        self.steps_per_epoch = int(steps_per_epoch)
+        self.max_steps = int(max_steps)
+        self.ds_drop_step = float(np.round(ds_drop * max_steps))
+        self.ss_drop_step = float(np.round(ss_drop * max_steps))
+        self.noise_std0 = float(noise_std)
+        self.beta_warmup_step = 2 * self.steps_per_epoch
+        self.t_vocab = t_vocab
+        self.mesh = mesh
+        self.donate = donate
+
+        dtype = jnp.bfloat16 if rc.compute_dtype == "bfloat16" else jnp.float32
+        self.model = SPNeRF(cfg=mc, compute_dtype=dtype)
+        self.fine_model = SPNeRF(cfg=mc, compute_dtype=dtype) if rc.n_importance > 0 else None
+        self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
+
+        self.tx = optax.adam(make_lr_schedule(lr, steps_per_epoch), b1=0.9, b2=0.999,
+                             eps=1e-8)
+        self._train_step = None
+        self._render_fn = None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key) -> TrainState:
+        k1, k2, k3 = jax.random.split(key, 3)
+        xyz = jnp.zeros((2, 3))
+        sun = jnp.zeros((2, 3))
+        t_emb = jnp.zeros((2, self.mc.t_embedding_dims)) if self.mc.beta else None
+        sem = jnp.zeros((2,), jnp.int32) if self.mc.sem else None
+        params = {"coarse": self.model.init(k1, xyz, sun, t_emb, sem)["params"]}
+        if self.fine_model is not None:
+            params["fine"] = self.fine_model.init(k2, xyz, sun, t_emb, sem)["params"]
+        if self.t_embed is not None:
+            params["t"] = self.t_embed.init(k3, jnp.zeros((2,), jnp.int32))["params"]
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state)
+
+    # ------------------------------------------------------------- rendering
+    def _field_apply(self, params, which="coarse"):
+        model = self.model if which == "coarse" else self.fine_model
+
+        def apply(xyz, sun_d, t_emb, sem_labels):
+            return model.apply({"params": params[which]}, xyz, sun_d, t_emb,
+                               sem_labels)
+
+        return apply
+
+    def _render(self, params, rays, ts, sems, key, train, valid_depth=None,
+                target_depths=None, target_std=None, noise_std=0.0):
+        t_emb = None
+        if self.t_embed is not None:
+            t_emb = self.t_embed.apply({"params": params["t"]}, ts)
+        fine_apply = (
+            self._field_apply(params, "fine") if self.fine_model is not None else None
+        )
+        return render_rays(
+            self._field_apply(params, "coarse"),
+            self.rc,
+            rays,
+            t_emb=t_emb,
+            sems=sems if self.mc.sem else None,
+            key=key,
+            train=train,
+            valid_depth=valid_depth,
+            target_depths=target_depths,
+            target_std=target_std,
+            noise_std=noise_std,
+            fine_field_apply=fine_apply,
+        )
+
+    # ------------------------------------------------------------ train step
+    def _loss_fn(self, params, batch, key, step):
+        noise_std = self.noise_std0 * jnp.power(0.9, step.astype(jnp.float32))
+        results = self._render(
+            params,
+            batch["rays"],
+            batch["ids"],
+            batch["sems"],
+            key,
+            train=True,
+            valid_depth=batch["valid_depth"],
+            target_depths=batch["depths"],
+            target_std=batch["depth_std"],
+            noise_std=noise_std,
+        )
+        use_beta = step >= self.beta_warmup_step
+        total, loss_dict = losses.total_loss(
+            results, batch, self.lc, step,
+            self.ds_drop_step, self.ss_drop_step,
+            use_beta_loss=use_beta,
+        )
+        typ = "fine" if f"rgb_fine" in results else "coarse"
+        mse = jnp.mean((results[f"rgb_{typ}"] - batch["rgbs"]) ** 2)
+        loss_dict["psnr"] = -10.0 * jnp.log10(mse)
+        return total, loss_dict
+
+    def _step_impl(self, state, data, key, axis_name=None):
+        """One SGD step. data: full device-resident scene arrays; the batch is
+        gathered from PRNG indices (with replacement)."""
+        n = data["rays"].shape[0]
+        k_idx, k_render = jax.random.split(jax.random.fold_in(key, state.step))
+        if axis_name is not None:
+            # distinct per-device stream; each device samples its local shard
+            k_idx = jax.random.fold_in(k_idx, jax.lax.axis_index(axis_name))
+            k_render = jax.random.fold_in(k_render, jax.lax.axis_index(axis_name))
+        idx = jax.random.randint(k_idx, (self.batch_per_device,), 0, n)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+
+        (loss, loss_dict), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, batch, k_render, state.step
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss_dict = jax.lax.pmean(loss_dict, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt)
+        loss_dict["loss"] = loss
+        return new_state, loss_dict
+
+    def build_train_step(self, batch_size):
+        """Compile the train step. With a mesh, data is sharded over rays and the
+        state replicated; the step runs under shard_map with psum-averaged grads."""
+        if self.mesh is None:
+            self.batch_per_device = int(batch_size)
+
+            @functools.partial(
+                jax.jit,
+                donate_argnums=(0,) if self.donate else (),
+            )
+            def step(state, data, key):
+                return self._step_impl(state, data, key)
+
+            self._train_step = step
+            return step
+
+        mesh = self.mesh
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+        self.batch_per_device = int(batch_size) // n_dev
+        axis = mesh.axis_names[0]
+
+        data_spec = P(axis)
+        state_spec = P()
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0,) if self.donate else (),
+        )
+        def step(state, data, key):
+            def shard_fn(state, data, key):
+                new_state, ld = self._step_impl(state, data, key, axis_name=axis)
+                return new_state, ld
+
+            return jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(state_spec, data_spec, state_spec),
+                out_specs=(state_spec, state_spec),
+                check_vma=False,
+            )(state, data, key)
+
+        self._train_step = step
+        return step
+
+    def shard_data(self, data):
+        """Place scene arrays on the mesh (sharded over rays) or the default
+        device. Pads N to a multiple of the device count by wrapping."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in data.items()}
+        axis = self.mesh.axis_names[0]
+        n_dev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        n = data["rays"].shape[0]
+        if n % n_dev:
+            pad_n = (n // n_dev + 1) * n_dev
+            idx = np.arange(pad_n) % n
+            data = {k: np.asarray(v)[idx] for k, v in data.items()}
+        sharding = NamedSharding(self.mesh, P(axis))
+        return {k: jax.device_put(np.asarray(v), sharding) for k, v in data.items()}
+
+    def replicate_state(self, state):
+        if self.mesh is None:
+            return state
+        sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(state, sharding)
+
+    # ------------------------------------------------------------- rendering (eval)
+    def build_render_fn(self, chunk=40960):
+        """Whole-image renderer: jit once at a fixed chunk size, loop on host over
+        padded chunks (eval-time only; the hot training path has no chunking)."""
+        rc_eval = self.rc
+
+        @jax.jit
+        def render_chunk(params, rays, ts, sems):
+            return self._render(params, rays, ts, sems, key=None, train=False)
+
+        def render_image(params, rays, t, sems=None):
+            n = rays.shape[0]
+            outs = []
+            for i in range(0, n, chunk):
+                sl = slice(i, min(i + chunk, n))
+                r = rays[sl]
+                pad = 0
+                if r.shape[0] < chunk:
+                    pad = chunk - r.shape[0]
+                    r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
+                ts = np.full((chunk,), t, np.int32)
+                sm = None
+                if sems is not None:
+                    sm = sems[sl]
+                    if pad:
+                        sm = np.concatenate([sm, np.repeat(sm[-1:], pad, axis=0)])
+                    sm = jnp.asarray(sm)
+                else:
+                    sm = jnp.zeros((chunk,), jnp.int32)
+                out = render_chunk(params, jnp.asarray(r), jnp.asarray(ts), sm)
+                out = jax.tree_util.tree_map(np.asarray, out)
+                if pad:
+                    out = {k: v[: chunk - pad] for k, v in out.items()}
+                outs.append(out)
+            return {k: np.concatenate([o[k] for o in outs], axis=0)
+                    for k in outs[0]}
+
+        self._render_fn = render_image
+        return render_image

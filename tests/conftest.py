@@ -1,18 +1,26 @@
 """Test harness configuration.
 
-Tests run on CPU with a virtual 8-device mesh so that the multi-chip sharding path
-(`spnerf_tpu.parallel`) is exercised without TPU hardware (see SURVEY.md section 4).
-Environment must be set before jax is imported anywhere in the test process.
+Tests run on CPU with a virtual 8-device mesh so the multi-chip sharding path
+(`spnerf_tpu.parallel`) is exercised without TPU hardware (SURVEY.md section 4).
+
+NOTE: the container's sitecustomize imports jax at interpreter startup and
+registers the tunneled 'axon' TPU backend, so setting JAX_PLATFORMS here is too
+late as an env var — instead the platform is forced through `jax.config` before
+any backend is initialized (backend init is lazy). XLA_FLAGS still takes effect
+because it is read at client-creation time.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
