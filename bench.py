@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: flagship sp-nerf training throughput (rays/sec/chip).
+
+Runs the full flagship training step (64 coarse samples, depth-guided resampling
+-> 128-sample second pass, two solar-correction passes, semantic head, depth +
+semantic losses, adam update) on synthetic device-resident data and reports
+sustained rays/sec on the available chip.
+
+Baseline: the driver's target is a 30k-step JAX_214 run (batch 1024 rays) in
+< 10 min on a v5e-8 (BASELINE.md), i.e. 51,200 rays/s across 8 chips =
+6,400 rays/s/chip sustained on this exact step. vs_baseline is measured/6400.
+The reference publishes no throughput numbers of its own (SURVEY.md section 6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC_PER_CHIP = 6400.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _fake_batch, _flagship_configs
+    from spnerf_tpu.train.loop import Trainer, scene_to_device_arrays
+
+    batch_size = 1024
+    mc, rc, lc = _flagship_configs()  # full 8x512 flagship field
+    tr = Trainer(mc, rc, lc, lr=5e-4, steps_per_epoch=1000, max_steps=30000)
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    # synthetic scene resident on device (data content does not affect timing)
+    data = {k: jax.numpy.asarray(v)
+            for k, v in _fake_batch(np.random.default_rng(0), 65536).items()}
+    step = tr.build_train_step(batch_size)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup (shallow dispatch queue: the tunneled runtime misbehaves
+    # with deeply queued executions, so sync every few steps)
+    state, ld = step(state, data, key)
+    float(ld["loss"])  # host fetch: unambiguous sync on the tunneled runtime
+    for _ in range(5):
+        state, ld = step(state, data, key)
+        float(ld["loss"])
+
+    n_steps = 40
+    group = 8
+    t0 = time.perf_counter()
+    for _ in range(n_steps // group):
+        for _ in range(group):
+            state, ld = step(state, data, key)
+        float(ld["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * batch_size / dt
+    print(json.dumps({
+        "metric": "flagship_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Offline evaluation — CLI-compatible with the reference `python eval.py ...`
+(/root/reference/eval.py:317-439).
+
+Walks the validation images saved during training at a chosen epoch
+(logs/val/{dsm,rgb}/*_epoch{N}.tif), and per image computes: DSM altitude MAE
+(ROI crop + NCC registration, with the offline NaN->min fill), PSNR, SSIM,
+LPIPS(alex, when weights are available), and residual-map PNGs. Prints per-image
+and mean metrics.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..evaluation import psnr, ssim
+from ..evaluation.lpips import lpips as lpips_fn
+from ..evaluation.mae import dsm_pointwise_diff
+from ..io import read_geotiff
+
+
+def plot_residual_map(residual_map_path, src_id, output_dir, clip_percent=98):
+    """Original + percentile-enhanced residual PNGs (reference eval.py:252-288)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    residual, _ = read_geotiff(residual_map_path)
+    residual = np.asarray(residual, np.float64)
+    max_abs = np.nanmax(np.abs(residual))
+    for name, cmap, vmin, vmax in (
+        ("original", "RdBu", -max_abs, max_abs),
+        ("enhanced", "coolwarm",
+         np.nanpercentile(residual, 100 - clip_percent),
+         np.nanpercentile(residual, clip_percent)),
+    ):
+        plt.figure(figsize=(10, 8))
+        plt.imshow(residual, cmap=cmap, vmin=vmin, vmax=vmax)
+        plt.colorbar(label="")
+        plt.axis("off")
+        out = os.path.join(output_dir, f"{src_id}_residual_map_{name}.png")
+        plt.savefig(out, dpi=300, bbox_inches="tight", pad_inches=0)
+        plt.close()
+
+
+def _load_rgb(path):
+    arr, _ = read_geotiff(path)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.max() > 1.05:
+        arr = arr / 255.0
+    return np.clip(arr, 0.0, 1.0)
+
+
+def eval_aoi(args):
+    pred_dsm_dir = os.path.join(args.logs_dir, "val", "dsm")
+    pred_rgb_dir = os.path.join(args.logs_dir, "val", "rgb")
+    gt_dsm_dir = os.path.join(args.dataset_dir, "Truth")
+    gt_rgb_base = os.path.join(args.dataset_dir, "RGB")
+    epoch = args.epoch_number
+    out_dir = os.path.join(args.output_dir, "dsm_diff")
+    os.makedirs(out_dir, exist_ok=True)
+
+    suffix = f"_epoch{epoch}.tif"
+    files = sorted(f for f in os.listdir(pred_dsm_dir) if f.endswith(suffix))
+
+    stats = {"psnr": [], "ssim": [], "mae": [], "lpips": []}
+    for fname in files:
+        src_id = fname[: -len(suffix)]
+        aoi_id = "_".join(src_id.split("_")[:2])
+        pred_dsm_path = os.path.join(pred_dsm_dir, fname)
+        pred_rgb_path = os.path.join(pred_rgb_dir, f"{src_id}{suffix}")
+        gt_dsm_path = os.path.join(gt_dsm_dir, f"{aoi_id}_DSM.tif")
+        gt_roi_path = os.path.join(gt_dsm_dir, f"{aoi_id}_DSM.txt")
+        gt_rgb_path = os.path.join(gt_rgb_base, aoi_id, f"{src_id}.tif")
+        missing = [p for p in (pred_rgb_path, gt_dsm_path, gt_roi_path,
+                               gt_rgb_path) if not os.path.exists(p)]
+        if missing:
+            print(f"{src_id}: missing {missing}, skipped")
+            continue
+
+        diff_path = os.path.join(out_dir, f"{src_id}_rdsm_diff_epoch{epoch}.tif")
+        rdsm_path = os.path.join(out_dir, f"{src_id}_rdsm_epoch{epoch}.tif")
+        err = dsm_pointwise_diff(
+            pred_dsm_path, gt_dsm_path, np.loadtxt(gt_roi_path),
+            out_rdsm_path=rdsm_path, out_err_path=diff_path, nan_fill_min=True,
+        )
+        mae_v = float(np.mean(np.abs(err)))
+        plot_residual_map(diff_path, src_id, out_dir)
+
+        pred_rgb = _load_rgb(pred_rgb_path)
+        gt_rgb = _load_rgb(gt_rgb_path)
+        if gt_rgb.shape != pred_rgb.shape:
+            # run was trained with img_downscale > 1: bring the dataset GT to the
+            # prediction's grid (the reference only supports downscale 1 here)
+            from ..utils import resize_bilinear
+
+            gt_rgb = resize_bilinear(
+                gt_rgb, pred_rgb.shape[0], pred_rgb.shape[1]
+            ).astype(np.float32)
+        psnr_v = float(psnr(pred_rgb, gt_rgb))
+        ssim_v = float(ssim(pred_rgb, gt_rgb))
+        lpips_v = lpips_fn(pred_rgb, gt_rgb)
+
+        for k, v in (("psnr", psnr_v), ("ssim", ssim_v), ("mae", mae_v),
+                     ("lpips", lpips_v)):
+            stats[k].append(v)
+        print(f"{src_id}: PSNR {psnr_v:.3f} / SSIM {ssim_v:.3f} / "
+              f"LPIPS {lpips_v:.3f} / MAE {mae_v:.3f}")
+
+    print(f"\nMean PSNR: {np.nanmean(stats['psnr']) if stats['psnr'] else 0:.3f}")
+    print(f"Mean SSIM: {np.nanmean(stats['ssim']) if stats['ssim'] else 0:.3f}")
+    print(f"Mean MAE: {np.nanmean(stats['mae']) if stats['mae'] else np.nan:.3f}")
+    print(f"Mean LPIPS: {np.nanmean(stats['lpips']) if stats['lpips'] else np.nan:.3f}\n")
+    print("Eval finished!")
+    return {k: (float(np.nanmean(v)) if v else float("nan"))
+            for k, v in stats.items()}
+
+
+def build_test_parser():
+    p = argparse.ArgumentParser(description="Evaluate SP-NeRF outputs (TPU-native)")
+    p.add_argument("--project_dir", type=str, required=True)
+    p.add_argument("--exp_name", type=str, required=True)
+    p.add_argument("--dataset_dir", type=str, required=True)
+    p.add_argument("--epoch_number", type=int, default=28)
+    return p
+
+
+def main(argv=None):
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+    args = build_test_parser().parse_args(argv)
+    args.logs_dir = os.path.join(args.project_dir, "output", args.exp_name, "logs")
+    args.output_dir = os.path.join(args.project_dir, "output", args.exp_name, "eval")
+    return eval_aoi(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Training entry point — CLI-compatible with the reference `python main.py ...`
+(/root/reference/main.py:305-338 + modules/opt.py flag surface).
+
+Structure of a run (mirroring the reference contract):
+  output/<exp>/{ckpts, logs}; logs/opts.json config dump; train/test.txt copies;
+  logs/{val,train}/{depth,dsm,rgb,gt_rgb,semantic,sun,albedo,beta,sky}/ images on
+  save epochs; metrics.jsonl (+ TensorBoard) scalars; orbax checkpoints ranked by
+  val/psnr; validation every --check_val_every_n_epoch epochs with PSNR/SSIM/MAE.
+
+TPU-native differences (by design): one jitted train step over device-resident
+data (no DataLoader), shard_map data parallelism over all local devices, keyed
+deterministic PRNG end to end.
+"""
+
+import os
+import shutil
+import time
+
+import numpy as np
+
+import jax
+
+from ..config import (
+    build_train_parser,
+    finalize_args,
+    loss_config_from_args,
+    model_config_from_args,
+    render_config_from_args,
+)
+from ..data import load_scene
+from ..evaluation import compute_mae_and_save_dsm_diff, psnr, ssim
+from ..evaluation.dsm import dsm_from_latlonalt
+from ..evaluation.outputs import save_nerf_output_to_images
+from ..parallel import data_mesh
+from ..train.checkpoints import CheckpointManager
+from ..train.loop import Trainer, scene_to_device_arrays
+from ..utils.logging import MetricLogger
+
+
+def predefined_val_ts(img_id):
+    """Transient-embedding index used at test time (reference eval.py:23-24)."""
+    return 0
+
+
+def build_trainer_and_scene(args, mesh=None):
+    scene = load_scene(
+        args.json_dir, args.img_dir, args.depth_dir, args.sem_dir, args.aoi_id,
+        img_downscale=args.img_downscale, stdscale=args.stdscale,
+        margin=args.margin, sem=args.sem, num_sem_classes=args.num_sem_classes,
+        dense_ss=args.dense_ss, sem_downscale=args.sem_downscale,
+        load_depth=args.depth or args.model == "sp-nerf",
+        cache_dir=args.cache_dir,
+    )
+    steps_per_epoch = max(len(scene) // args.batch_size, 1)
+    trainer = Trainer(
+        model_config_from_args(args),
+        render_config_from_args(args),
+        loss_config_from_args(args),
+        lr=args.lr,
+        steps_per_epoch=steps_per_epoch,
+        max_steps=args.max_train_steps,
+        ds_drop=args.ds_drop,
+        ss_drop=args.ss_drop,
+        noise_std=args.noise_std,
+        t_vocab=args.t_embbeding_vocab,
+        mesh=mesh,
+    )
+    return trainer, scene, steps_per_epoch
+
+
+def run_validation(trainer, scene, state, args, epoch, logger, save_images):
+    """Render every validation image; log PSNR/SSIM/MAE
+    (reference validation_step, main.py:188-299)."""
+    render = trainer._render_fn or trainer.build_render_fn(chunk=args.chunk)
+    params = jax.device_get(state.params)
+    all_scalars = []
+    for i, rec in enumerate(scene.val_images):
+        sample = scene.load_val_image(rec, with_sem=args.sem)
+        t = predefined_val_ts(rec.img_id)
+        out = render(params, sample["rays"], t, sample.get("sems"))
+        typ = "fine" if "rgb_fine" in out else "coarse"
+        h, w = sample["h"], sample["w"]
+        img = out[f"rgb_{typ}"].reshape(h, w, 3)
+        gt = sample["rgbs"].reshape(h, w, 3)
+        psnr_v = float(psnr(img, gt))
+        ssim_v = float(ssim(img, gt))
+
+        split = "train" if i == 0 else "val"  # image 0 is the train-debug view
+        out_dir = os.path.join(args.logs_dir, split)
+        mae_v = float("nan")
+        try:
+            depth = np.asarray(out[f"depth_{typ}"])
+            lats, lons, alts = scene.latlonalt_from_depth(sample["rays"], depth)
+            tmp_dsm = os.path.join(out_dir, "dsm",
+                                   f"tmp_pred_dsm_{rec.img_id}.tif")
+            os.makedirs(os.path.dirname(tmp_dsm), exist_ok=True)
+            dsm_from_latlonalt(lats, lons, alts, dsm_path=tmp_dsm)
+            mae_v = compute_mae_and_save_dsm_diff(
+                tmp_dsm, rec.img_id, args.aoi_id, args.gt_dir,
+                os.path.join(out_dir, "dsm"), epoch, save=False,
+            )
+            os.remove(tmp_dsm)
+        except Exception as exc:  # reference swallows MAE failures (main.py:272-287)
+            print(f"MAE computation failed for {rec.img_id}: {exc}")
+
+        if save_images:
+            save_nerf_output_to_images(scene, sample, out, out_dir, epoch,
+                                       args.num_sem_classes)
+        scalars = {"psnr": psnr_v, "ssim": ssim_v, "mae": mae_v}
+        logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
+        if split == "val":
+            all_scalars.append(scalars)
+        print(f"[val e{epoch}] {rec.img_id}: psnr {psnr_v:.2f} ssim {ssim_v:.3f} "
+              f"mae {mae_v:.3f}")
+
+    mean = {k: float(np.nanmean([s[k] for s in all_scalars]))
+            for k in ("psnr", "ssim", "mae")} if all_scalars else {}
+    if mean:
+        logger.log(int(state.step), mean, split="val")
+    return mean
+
+
+def main(argv=None):
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+    parser = build_train_parser()
+    args = parser.parse_args(argv)
+    finalize_args(args)
+
+    for split_file in ("train.txt", "test.txt"):
+        src = os.path.join(args.json_dir, split_file)
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(args.logs_dir, split_file))
+
+    n_dev = jax.device_count()
+    use_dev = args.data_axis if args.data_axis > 0 else n_dev
+    mesh = data_mesh(use_dev) if use_dev > 1 else None
+    print(f"devices: {n_dev} available, {use_dev} used "
+          f"({'mesh' if mesh else 'single'})")
+
+    trainer, scene, steps_per_epoch = build_trainer_and_scene(args, mesh)
+    print(f"scene: {len(scene)} rays, {steps_per_epoch} steps/epoch")
+
+    key = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(key)
+    ckpt = CheckpointManager(args.ckpts_dir)
+    if args.ckpt_path:
+        restored = CheckpointManager(args.ckpt_path).restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from {args.ckpt_path} at step {int(state.step)}")
+    state = trainer.replicate_state(state)
+
+    data = trainer.shard_data(scene_to_device_arrays(scene))
+    step_fn = trainer.build_train_step(args.batch_size)
+    trainer.build_render_fn(chunk=args.chunk)
+    logger = MetricLogger(args.logs_dir)
+
+    start_step = int(jax.device_get(state.step))
+    run_key = jax.random.PRNGKey(args.seed + 1)
+    last_epoch_validated = -1
+    # XLA:CPU deadlocks when several executions of a program containing
+    # collectives are in flight at once (thread-pool rendezvous); serialize
+    # dispatch there. TPU executions serialize on-device, so free-running
+    # dispatch is safe and hides host latency.
+    sync_every_step = mesh is not None and jax.default_backend() == "cpu"
+    t0 = time.time()
+    window = start_step
+    for step in range(start_step, args.max_train_steps):
+        state, loss_dict = step_fn(state, data, run_key)
+        if sync_every_step:
+            jax.block_until_ready(loss_dict["loss"])
+        epoch = step // steps_per_epoch
+
+        if (step + 1) % 100 == 0 or step + 1 == args.max_train_steps:
+            ld = jax.device_get(loss_dict)  # sync point (also throttles dispatch)
+            dt = time.time() - t0
+            rays_s = (step + 1 - window) * args.batch_size / max(dt, 1e-9)
+            logger.log(step + 1, {**{k: float(v) for k, v in ld.items()},
+                                  "rays_per_sec": rays_s})
+            print(f"step {step + 1}: loss {float(ld['loss']):.5f} "
+                  f"psnr {float(ld['psnr']):.2f} | {rays_s:,.0f} rays/s")
+            t0 = time.time()
+            window = step + 1
+
+        end_of_epoch = (step + 1) % steps_per_epoch == 0
+        if end_of_epoch and epoch != last_epoch_validated and (
+            epoch % args.check_val_every_n_epoch == 0 and epoch > 0
+        ):
+            last_epoch_validated = epoch
+            save_images = epoch % args.save_every_n_epochs == 0
+            mean = run_validation(trainer, scene, state, args, epoch, logger,
+                                  save_images)
+            ckpt.save(step + 1, state,
+                      metrics={"val_psnr": mean.get("psnr", float("nan"))})
+            t0 = time.time()
+            window = step + 1
+
+    mean = run_validation(trainer, scene, state, args,
+                          args.max_train_steps // steps_per_epoch, logger, True)
+    ckpt.save(args.max_train_steps, state,
+              metrics={"val_psnr": mean.get("psnr", float("nan"))})
+    logger.close()
+    ckpt.close()
+    print("training complete")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ def dsm_pointwise_diff(
     gt_mask_path=None,
     out_rdsm_path=None,
     out_err_path=None,
+    nan_fill_min=False,
 ):
     """Error map between predicted and lidar DSM after NCC registration.
 
@@ -84,6 +85,14 @@ def dsm_pointwise_diff(
     except Exception as exc:  # mean-Z fallback (reference eval.py:223-232)
         print(f"NCC registration failed ({exc}); falling back to mean-Z shift")
         pred_r = pred_crop + np.nanmean(gt - pred_crop)
+
+    if nan_fill_min:
+        # offline-eval variant: NaNs replaced by the global min altitude before
+        # differencing (reference eval.py:234-237); the in-training variant
+        # keeps NaNs and uses nanmean instead (modules/utils.py:209,245)
+        fill = min(np.nanmin(pred_r), np.nanmin(gt))
+        pred_r = np.nan_to_num(pred_r, nan=fill)
+        gt = np.nan_to_num(gt, nan=fill)
 
     err = pred_r - gt
     out_transform = (xoff, resolution, yoff_top, -resolution)

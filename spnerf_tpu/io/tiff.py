@@ -55,10 +55,78 @@ _SAMPLE_FORMAT = {  # numpy dtype -> (tiff sample format, bits)
 }
 
 
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd_raw(path):
+    """Minimal classic-TIFF IFD parser (little/big endian, first IFD only).
+    Returns {tag: tuple_of_values}. Used as a fallback for layouts PIL rejects
+    (e.g. multi-band float32, which our own writer emits)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    bo = {b"II": "<", b"MM": ">"}[data[:2]]
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF: {path}")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n,) = struct.unpack(bo + "H", data[ifd_off: ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", data[e: e + 8])
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            raw = data[e + 8: e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", data[e + 8: e + 12])
+            raw = data[off: off + size]
+        if typ == 2:
+            tags[tag] = raw.rstrip(b"\x00")
+        elif typ in (5, 10):  # rationals -> floats
+            fmt = bo + ("II" if typ == 5 else "ii") * count
+            vals = struct.unpack(fmt, raw)
+            tags[tag] = tuple(vals[2 * k] / (vals[2 * k + 1] or 1)
+                              for k in range(count))
+        elif typ in _TYPE_FMT:
+            tags[tag] = struct.unpack(bo + _TYPE_FMT[typ] * count, raw)
+        else:
+            tags[tag] = raw
+    return tags, data, bo
+
+
+def _read_tiff_raw(path):
+    """Decode an uncompressed chunky-planar TIFF that PIL cannot handle."""
+    tags, data, bo = _read_ifd_raw(path)
+    if tags.get(_T_COMPRESSION, (1,))[0] != 1:
+        raise ValueError(f"unsupported compressed TIFF for raw reader: {path}")
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_HEIGHT][0]
+    spp = tags.get(_T_SAMPLES, (1,))[0]
+    bits = tags[_T_BITS][0]
+    fmt = tags.get(_T_SAMPLE_FORMAT, (1,))[0]
+    dtype = {
+        (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+        (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
+        (3, 32): np.float32, (3, 64): np.float64,
+    }[(fmt, bits)]
+    dtype = np.dtype(dtype).newbyteorder(bo)
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags[_T_STRIP_BYTES]
+    raw = b"".join(data[o: o + c] for o, c in zip(offsets, counts))
+    arr = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
+    arr = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    return np.ascontiguousarray(arr.astype(dtype.newbyteorder("="))), tags
+
+
 def read_tiff(path):
     """Read a (possibly compressed) TIFF into (H, W) or (H, W, C) numpy array."""
-    with Image.open(path) as im:
-        return np.array(im)
+    try:
+        with Image.open(path) as im:
+            return np.array(im)
+    except Exception:
+        arr, _ = _read_tiff_raw(path)
+        return arr
 
 
 def _geo_profile_from_tags(tags, arr):
@@ -101,11 +169,15 @@ def _geo_profile_from_tags(tags, arr):
 
 def read_geotiff(path):
     """Read a GeoTIFF -> (array, profile dict). See module docstring for profile."""
-    with Image.open(path) as im:
-        arr = np.array(im)
-        tags = getattr(im, "tag_v2", None)
-        profile = _geo_profile_from_tags(tags, arr)
-    return arr, profile
+    try:
+        with Image.open(path) as im:
+            arr = np.array(im)
+            tags = getattr(im, "tag_v2", None)
+            profile = _geo_profile_from_tags(tags, arr)
+        return arr, profile
+    except Exception:
+        arr, raw_tags = _read_tiff_raw(path)
+        return arr, _geo_profile_from_tags(raw_tags, arr)
 
 
 def _pack_entries(entries):
