@@ -1,0 +1,185 @@
+"""Evaluation-stack tests: SSIM vs an independent torch implementation of the
+kornia-0.5.3 definition, DSM rasterization, NCC registration (numpy vs C++
+backend vs known shifts), ROI crop + MAE plumbing, GeoTIFF raw-reader roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spnerf_tpu.evaluation import (
+    compute_mae_and_save_dsm_diff,
+    miou,
+    overall_accuracy,
+    psnr,
+    ssim,
+)
+from spnerf_tpu.evaluation import registration
+from spnerf_tpu.evaluation.dsm import rasterize_dsm
+from spnerf_tpu.evaluation.mae import crop_to_roi
+from spnerf_tpu.io import read_geotiff, write_geotiff
+
+
+def test_psnr_known_value(rng):
+    gt = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    assert float(psnr(gt, gt)) > 80
+    noisy = np.clip(gt + 0.1, 0, None)
+    expected = -10 * np.log10(np.mean((noisy - gt) ** 2))
+    np.testing.assert_allclose(float(psnr(noisy, gt)), expected, rtol=1e-4)
+
+
+def test_ssim_matches_kornia_053_definition(rng):
+    """Independent torch re-derivation of kornia 0.5.3 ssim(window=3):
+    3x3 gaussian (sigma 1.5), reflect padding, biased moments."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    a = rng.uniform(size=(3, 24, 26)).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape).astype(np.float32) * 0.1, 0, 1)
+
+    x = np.arange(3) - 1.0
+    g = np.exp(-(x ** 2) / (2 * 1.5 ** 2))
+    g /= g.sum()
+    k = torch.tensor(np.outer(g, g), dtype=torch.float32)[None, None]
+    k = k.repeat(3, 1, 1, 1)
+
+    def filt(img):
+        t = torch.from_numpy(img)[None]
+        t = F.pad(t, (1, 1, 1, 1), mode="reflect")
+        return F.conv2d(t, k, groups=3)[0]
+
+    ta, tb = torch.from_numpy(a)[None], torch.from_numpy(b)[None]
+    mu1, mu2 = filt(a), filt(b)
+    s11 = filt(a * a) - mu1 * mu1
+    s22 = filt(b * b) - mu2 * mu2
+    s12 = filt(a * b) - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+           / ((mu1 ** 2 + mu2 ** 2 + c1) * (s11 + s22 + c2))).mean().item()
+    np.testing.assert_allclose(float(ssim(a, b)), ref, rtol=1e-4)
+    assert float(ssim(a, a)) > 0.999
+
+
+def test_miou_oa():
+    pred = np.array([0, 0, 1, 1, 2, 2])
+    gt = np.array([0, 1, 1, 1, 2, 0])
+    # class0: inter 1, union 3; class1: inter 2, union 3; class2: inter 1, union 2
+    expected = np.mean([1 / 3, 2 / 3, 1 / 2])
+    np.testing.assert_allclose(float(miou(pred, gt, 3)), expected, rtol=1e-6)
+    np.testing.assert_allclose(float(overall_accuracy(pred, gt)), 4 / 6,
+                               rtol=1e-6)
+
+
+def test_rasterize_dsm_mean_and_nan():
+    # two points in one cell -> average; untouched cells -> NaN
+    easts = np.array([10.25, 10.26, 12.9])
+    norths = np.array([99.75, 99.74, 98.1])
+    alts = np.array([5.0, 7.0, 3.0])
+    dsm = np.asarray(rasterize_dsm(easts, norths, alts, xoff=10.0, yoff=100.0,
+                                   resolution=0.5, xsize=8, ysize=6, radius=0))
+    np.testing.assert_allclose(dsm[0, 0], 6.0)  # mean of 5 and 7
+    np.testing.assert_allclose(dsm[3, 5], 3.0)
+    assert np.isnan(dsm[5, 7])
+    # radius=1 spreads each point into its 3x3 neighborhood
+    dsm1 = np.asarray(rasterize_dsm(easts, norths, alts, xoff=10.0, yoff=100.0,
+                                    resolution=0.5, xsize=8, ysize=6, radius=1))
+    np.testing.assert_allclose(dsm1[1, 1], 6.0)
+    np.testing.assert_allclose(dsm1[0, 1], 6.0)
+
+
+def test_downsample2x_nan_aware():
+    u = np.array([[1.0, np.nan], [3.0, 5.0]])
+    out = registration.downsample2x(u)
+    np.testing.assert_allclose(out, [[3.0]])
+    u = np.full((4, 4), np.nan)
+    assert np.isnan(registration.downsample2x(u)).all()
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_registration_recovers_shift(rng, use_native):
+    if use_native and not os.path.exists(
+        os.path.join(os.path.dirname(registration.__file__), "..", "native",
+                     "libdsmr.so")
+    ):
+        pytest.skip("native lib not built")
+    base = rng.normal(size=(140, 150)) * 4 + 20
+    # smooth it so NCC has structure
+    base = base + 10 * np.sin(np.arange(150) / 9)[None, :]
+    # shifted[j, i] = base[j + 2, i - 3]; registering it back onto base needs
+    # the inverse sampling shift (dx, dy) = (3, -2) (out[j,i] = v[j+dy, i+dx])
+    shifted = registration._shifted_view(base, -3, 2) + 1.25
+    dx, dy, a, b = registration.compute_shift(base, shifted, scaling=False,
+                                              use_native=use_native)
+    assert (dx, dy) == (3, -2)
+    assert a == 1.0
+    np.testing.assert_allclose(b, -1.25, atol=0.05)
+    restored = registration.apply_shift(shifted, dx, dy, a, b,
+                                        use_native=use_native)
+    ok = np.isfinite(restored) & np.isfinite(base)
+    np.testing.assert_allclose(restored[ok], base[ok], atol=0.1)
+
+
+def test_native_and_numpy_backends_agree(rng):
+    gt = rng.normal(size=(160, 160)) * 5 + 30
+    pred = np.roll(gt, (2, -3), axis=(0, 1)) + 1.7
+    pred[::13, ::7] = np.nan
+    r_np = registration.compute_shift(gt, pred, use_native=False)
+    r_cc = registration.compute_shift(gt, pred, use_native=True)
+    assert r_np[:3] == r_cc[:3]
+    np.testing.assert_allclose(r_np[3], r_cc[3], rtol=1e-9)
+
+
+def test_crop_to_roi_window_and_padding():
+    arr = np.arange(20.0).reshape(4, 5)
+    transform = (100.0, 1.0, 50.0, -1.0)  # x0=100, y_top=50
+    out = crop_to_roi(arr, transform, xoff=101.0, yoff_top=49.0, xsize=3,
+                      ysize=2, resolution=1.0)
+    np.testing.assert_allclose(out, arr[1:3, 1:4])
+    out = crop_to_roi(arr, transform, xoff=103.0, yoff_top=50.0, xsize=4,
+                      ysize=2, resolution=1.0)
+    assert np.isnan(out[:, 2:]).all()
+    np.testing.assert_allclose(out[:, :2], arr[0:2, 3:5])
+
+
+def test_mae_pipeline_roundtrip(tmp_path, rng):
+    """Synthesize GT + predicted DSM GeoTIFFs with a known shift and verify the
+    full crop->register->MAE chain lands near the injected offset."""
+    size, res = 64, 0.5
+    xoff, yoff = 500.0, 2000.0  # yoff = south edge (ROI convention)
+    gt = (rng.normal(size=(size, size)) * 2
+          + 10 * np.sin(np.arange(size) / 5)[None, :] + 30)
+    gt_path = tmp_path / "AOI_X_DSM.tif"
+    roi_path = tmp_path / "AOI_X_DSM.txt"
+    write_geotiff(str(gt_path), gt.astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+    np.savetxt(roi_path, [xoff, yoff, size, res])
+
+    pred = gt + 2.5  # constant altitude bias; registration should remove it
+    pred_path = tmp_path / "pred.tif"
+    write_geotiff(str(pred_path), pred.astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+
+    mae = compute_mae_and_save_dsm_diff(str(pred_path), "pred", "AOI_X",
+                                        str(tmp_path), str(tmp_path), 0,
+                                        save=True)
+    assert mae < 0.05
+    assert (tmp_path / "pred_rdsm_epoch0.tif").exists()
+    err, prof = read_geotiff(str(tmp_path / "pred_rdsm_diff_epoch0.tif"))
+    assert err.shape == (size, size)
+    assert prof["transform"] is not None
+
+
+def test_raw_tiff_reader_roundtrip(tmp_path, rng):
+    """Multi-band float32 GeoTIFF (unreadable by PIL) survives write->read with
+    data + geo metadata intact, cross-checked with imageio's decoder."""
+    arr = rng.normal(size=(10, 12, 3)).astype(np.float32)
+    path = str(tmp_path / "t.tif")
+    write_geotiff(path, arr, transform=(10.0, 0.5, 99.0, -0.5), epsg=32617,
+                  nodata=float("nan"))
+    back, prof = read_geotiff(path)
+    np.testing.assert_allclose(back, arr)
+    np.testing.assert_allclose(prof["transform"], (10.0, 0.5, 99.0, -0.5))
+    assert prof["epsg"] == 32617
+    import imageio.v3 as iio
+
+    np.testing.assert_allclose(iio.imread(path), arr)
