@@ -185,7 +185,8 @@ def _pack_entries(entries):
     return sorted(entries, key=lambda e: e[0])
 
 
-def write_geotiff(path, array, transform=None, epsg=None, nodata=None, profile=None):
+def write_geotiff(path, array, transform=None, epsg=None, nodata=None,
+                  profile=None, extra_double_tags=None):
     """Write `array` (H, W) or (H, W, C) as an uncompressed little-endian GeoTIFF.
 
     transform: (xoff, xres, yoff, yres) with yres negative for north-up rasters,
@@ -273,6 +274,10 @@ def write_geotiff(path, array, transform=None, epsg=None, nodata=None, profile=N
     if nodata is not None:
         nd = float(nodata)
         add_ascii(_T_GDAL_NODATA, "nan" if np.isnan(nd) else repr(nd))
+    if extra_double_tags:
+        # e.g. the RPC00B coefficient block (tag 50844) for satellite imagery
+        for tag, values in extra_double_tags.items():
+            add_double(int(tag), np.asarray(values, np.float64))
 
     # strip offsets / byte counts appended last (offset filled after layout)
     add_long(_T_STRIP_BYTES, len(data))

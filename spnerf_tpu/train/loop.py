@@ -262,6 +262,58 @@ class Trainer:
         self._train_step = step
         return step
 
+    def build_train_scan(self, batch_size, inner_steps: int):
+        """Compile a multi-step program: `inner_steps` SGD steps inside one
+        lax.scan, so a single host dispatch drives a whole logging window.
+
+        This removes per-step host->device dispatch latency entirely (the
+        dominant cost through remote/tunneled runtimes, and non-trivial even
+        locally) and is the idiomatic TPU training shape. Per-step semantics
+        are identical to build_train_step: the PRNG folds in state.step, which
+        increments inside the scan. Returns fn(state, data, key) ->
+        (state, loss_dict_of_last_step).
+        """
+        if self.mesh is None:
+            self.batch_per_device = int(batch_size)
+
+            def body(state, _, data, key):
+                new_state, ld = self._step_impl(state, data, key)
+                return new_state, ld
+
+            @functools.partial(jax.jit, donate_argnums=(0,) if self.donate else ())
+            def run(state, data, key):
+                state, lds = jax.lax.scan(
+                    lambda s, x: body(s, x, data, key), state, None,
+                    length=inner_steps)
+                return state, jax.tree_util.tree_map(lambda a: a[-1], lds)
+
+            return run
+
+        mesh = self.mesh
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+        self.batch_per_device = int(batch_size) // n_dev
+        axis = mesh.axis_names[0]
+
+        @functools.partial(jax.jit, donate_argnums=(0,) if self.donate else ())
+        def run(state, data, key):
+            def shard_fn(state, data, key):
+                def body(s, _):
+                    new_s, ld = self._step_impl(s, data, key, axis_name=axis)
+                    return new_s, ld
+
+                state2, lds = jax.lax.scan(body, state, None, length=inner_steps)
+                return state2, jax.tree_util.tree_map(lambda a: a[-1], lds)
+
+            return jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(axis), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, data, key)
+
+        return run
+
     def shard_data(self, data):
         """Place scene arrays on the mesh (sharded over rays) or the default
         device. Pads N to a multiple of the device count by wrapping."""
