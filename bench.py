@@ -36,25 +36,23 @@ def main():
     # synthetic scene resident on device (data content does not affect timing)
     data = {k: jax.numpy.asarray(v)
             for k, v in _fake_batch(np.random.default_rng(0), 65536).items()}
-    step = tr.build_train_step(batch_size)
+    # one dispatch drives a whole 25-step window via lax.scan: per-step host
+    # dispatch latency (large through tunneled runtimes) is fully amortized,
+    # and a host fetch of the loss is an unambiguous sync point
+    n_inner = 25
+    run = tr.build_train_scan(batch_size, n_inner)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup (shallow dispatch queue: the tunneled runtime misbehaves
-    # with deeply queued executions, so sync every few steps)
-    state, ld = step(state, data, key)
-    float(ld["loss"])  # host fetch: unambiguous sync on the tunneled runtime
-    for _ in range(5):
-        state, ld = step(state, data, key)
-        float(ld["loss"])
+    state, ld = run(state, data, key)
+    float(ld["loss"])  # compile + warmup
 
-    n_steps = 40
-    group = 8
+    n_groups = 2
     t0 = time.perf_counter()
-    for _ in range(n_steps // group):
-        for _ in range(group):
-            state, ld = step(state, data, key)
+    for _ in range(n_groups):
+        state, ld = run(state, data, key)
         float(ld["loss"])
     dt = time.perf_counter() - t0
+    n_steps = n_groups * n_inner
 
     rays_per_sec = n_steps * batch_size / dt
     print(json.dumps({

@@ -91,7 +91,12 @@ class TorchDense(nn.Module):
             kernel.astype(self.compute_dtype),
             preferred_element_type=jnp.float32,
         )
-        return y + bias
+        # bias add in f32 (fused into the matmul epilogue), then activations
+        # are carried in compute_dtype: with bf16 this halves the HBM traffic
+        # of layer activations and their saved-for-backward copies — the step
+        # is bandwidth-bound, not FLOP-bound (see bench notes). Mirrors the
+        # reference's AMP fp16 activations (main.py:334).
+        return (y + bias).astype(self.compute_dtype)
 
 
 def siren(x, w0=1.0):

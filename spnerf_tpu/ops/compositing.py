@@ -34,7 +34,8 @@ def composite(field_out, z_vals, noise_std=0.0, key=None):
     delta_inf = jnp.full_like(deltas[:, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (R, S)
 
-    if key is not None:
+    static_zero = isinstance(noise_std, (int, float)) and noise_std == 0.0
+    if key is not None and not static_zero:
         noise = jax.random.normal(key, sigmas.shape, sigmas.dtype) * noise_std
     else:
         noise = 0.0

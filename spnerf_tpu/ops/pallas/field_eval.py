@@ -1,0 +1,239 @@
+"""Fused SPNeRF field evaluation as a single Pallas TPU kernel.
+
+One `pallas_call` evaluates the whole field — positional mapping, semantic
+embedding concat, 8x512 Siren trunk with skip, and every head (sigma, feats,
+albedo rgb, sun visibility, sky, semantic logits) — on a tile of points while
+the activations stay in VMEM. The XLA path materializes each layer's (N, 512)
+activation in HBM between matmuls; here only the raw inputs and the small head
+outputs touch HBM.
+
+All weights live in VMEM for the kernel's lifetime (~7 MB bf16 for the flagship
+8x512 configuration, well under the ~16 MB/core budget); the grid tiles points.
+Matmuls hit the MXU in bf16 with f32 accumulation — the same numerics policy as
+the flax path (models/spnerf.py TorchDense).
+
+This is the *forward* (inference/render) kernel: validation and DSM-extraction
+rendering are forward-only, where a fused kernel pays directly. Training uses
+the XLA path, whose fwd+bwd is MXU-bound already (see bench notes); a custom
+VJP pair can reuse this kernel later.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ModelConfig
+
+TILE = 512  # points per grid step
+
+
+def supports_config(cfg: ModelConfig) -> bool:
+    """Covers the sp-nerf flagship family; the beta/transient path and relu
+    variants fall back to the XLA implementation."""
+    return cfg.siren and not cfg.beta and cfg.skips == (4,) and cfg.fc_layers >= 2
+
+
+def pack_params(params, cfg: ModelConfig):
+    """Flax params -> (names, weights, biases, sem_table).
+
+    TorchDense call order (models/spnerf.py __call__): trunk fc_layers, sigma,
+    feats, rgb x2, sun x4, sky x2, [beta x2 if cfg.beta], sem x2.
+    """
+    n_trunk = cfg.fc_layers
+    idx = {}
+    i = 0
+    for k in range(n_trunk):
+        idx[f"trunk{k}"] = i
+        i += 1
+    for name in ("sigma", "feats", "rgb0", "rgb1", "sun0", "sun1", "sun2",
+                 "sun3", "sky0", "sky1"):
+        idx[name] = i
+        i += 1
+    if cfg.beta:
+        i += 2
+    if cfg.sem:
+        idx["sem0"] = i
+        idx["sem1"] = i + 1
+
+    names = [f"trunk{k}" for k in range(n_trunk)]
+    names += ["sigma", "feats", "rgb0", "rgb1", "sun0", "sun1", "sun2", "sun3",
+              "sky0", "sky1"]
+    if cfg.sem:
+        names += ["sem0", "sem1"]
+
+    ws, bs = [], []
+    for n in names:
+        d = params[f"TorchDense_{idx[n]}"]
+        ws.append(np.asarray(d["kernel"]))
+        bs.append(np.asarray(d["bias"]).reshape(1, -1))
+    sem_table = np.asarray(params["semantic_embedding"]) if cfg.sem else None
+    return tuple(names), ws, bs, sem_table
+
+
+def _positional_mapping(x, n_freqs):
+    parts = []
+    for k in range(n_freqs):
+        f = 2.0 ** k
+        parts.append(jnp.sin(f * x))
+        parts.append(jnp.cos(f * x))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _make_kernel(cfg: ModelConfig, names, compute_dtype):
+    n_trunk = cfg.fc_layers
+    skip = cfg.skips[0] if cfg.skips else None
+    name_pos = {n: i for i, n in enumerate(names)}
+
+    def kernel(xin_ref, sun_ref, *refs):
+        w = {n: refs[2 * name_pos[n]] for n in names}
+        b = {n: refs[2 * name_pos[n] + 1] for n in names}
+        n_wb = 2 * len(names)
+        out_rgb, out_sigma, out_sunv, out_sky = refs[n_wb: n_wb + 4]
+        out_sem = refs[n_wb + 4] if cfg.sem else None
+        cd = compute_dtype
+
+        def dense(name, x):
+            y = jnp.dot(x.astype(cd), w[name][:].astype(cd),
+                        preferred_element_type=jnp.float32)
+            return y + b[name][:]
+
+        x_in = xin_ref[:].astype(jnp.float32)
+        sun = sun_ref[:].astype(jnp.float32)
+
+        h = jnp.sin(30.0 * dense("trunk0", x_in))
+        for i in range(1, n_trunk):
+            if skip is not None and i == skip:
+                h = jnp.concatenate([h, x_in], axis=-1)
+            h = jnp.sin(dense(f"trunk{i}", h))
+        shared = h
+
+        out_sigma[:] = jax.nn.softplus(dense("sigma", shared))
+        feats = dense("feats", shared)
+
+        r = jnp.sin(dense("rgb0", feats))
+        out_rgb[:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
+
+        s = jnp.concatenate([feats, sun], axis=-1)
+        s = jnp.sin(dense("sun0", s))
+        s = jnp.sin(dense("sun1", s))
+        s = jnp.sin(dense("sun2", s))
+        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s))
+
+        k = jax.nn.relu(dense("sky0", sun))
+        out_sky[:] = jax.nn.sigmoid(dense("sky1", k))
+
+        if cfg.sem:
+            g = jnp.sin(dense("sem0", shared))
+            out_sem[:] = dense("sem1", g)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "names", "compute_dtype_name", "interpret"),
+)
+def _fused_apply(ws, bs, sem_table, xyz, sun_d, sem_labels, cfg: ModelConfig,
+                 names, compute_dtype_name="bfloat16", interpret=False):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    n = xyz.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    pad = n_pad - n
+    if pad:
+        xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], 0)
+        sun_d = jnp.concatenate([sun_d, jnp.zeros((pad, 3), sun_d.dtype)], 0)
+        if sem_labels is not None:
+            sem_labels = jnp.concatenate(
+                [sem_labels, jnp.zeros((pad,), sem_labels.dtype)], 0)
+
+    # XLA-side preprocessing: positional mapping + semantic embedding concat —
+    # tiny next to the trunk, keeps the kernel's first matmul layout simple
+    if cfg.mapping:
+        x_in = _positional_mapping(xyz.astype(jnp.float32), cfg.mapping_sizes[0])
+    else:
+        x_in = xyz.astype(jnp.float32)
+    if cfg.sem:
+        labels = jnp.where(sem_labels < 0, cfg.num_sem_classes,
+                           sem_labels).astype(jnp.int32)
+        emb = jnp.take(sem_table, labels, axis=0)
+        x_in = jnp.concatenate([x_in, emb.astype(x_in.dtype)], axis=-1)
+
+    in_dim = x_in.shape[-1]
+    grid = (n_pad // TILE,)
+
+    def point_spec(d):
+        return pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    weight_specs, weight_args = [], []
+    for wk, bk in zip(ws, bs):
+        weight_specs.append(full_spec(wk.shape))
+        weight_args.append(wk)
+        weight_specs.append(full_spec(bk.shape))
+        weight_args.append(bk)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # rgb
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # sigma
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # sun_v
+        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # sky
+    ]
+    out_specs = [point_spec(3), point_spec(1), point_spec(1), point_spec(3)]
+    if cfg.sem:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_pad, cfg.num_sem_classes), jnp.float32))
+        out_specs.append(point_spec(cfg.num_sem_classes))
+
+    kernel = _make_kernel(cfg, names, compute_dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[point_spec(in_dim), point_spec(3)] + weight_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x_in, sun_d.astype(jnp.float32), *weight_args)
+
+    rgb, sigma, sun_v, sky = outs[:4]
+    result = {
+        "rgb": rgb[:n],
+        "sigma": sigma[:n, 0],
+        "sun_v": sun_v[:n],
+        "sky": sky[:n],
+    }
+    if cfg.sem:
+        result["sem_logits"] = outs[4][:n]
+    return result
+
+
+class FusedField:
+    """Callable field_apply (forward only) built from flax params."""
+
+    def __init__(self, params, cfg: ModelConfig, compute_dtype="bfloat16",
+                 interpret=False):
+        assert supports_config(cfg), "config not covered by the fused kernel"
+        names, ws, bs, sem_table = pack_params(params, cfg)
+        self.names = names
+        self.ws = [jnp.asarray(w) for w in ws]
+        self.bs = [jnp.asarray(b) for b in bs]
+        self.sem_table = None if sem_table is None else jnp.asarray(sem_table)
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        self.interpret = interpret
+
+    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None):
+        return _fused_apply(self.ws, self.bs, self.sem_table, xyz, sun_d,
+                            sem_labels, self.cfg, self.names,
+                            self.compute_dtype, self.interpret)
+
+
+def fused_field_apply(params, cfg: ModelConfig, compute_dtype="bfloat16",
+                      interpret=False):
+    return FusedField(params, cfg, compute_dtype, interpret)

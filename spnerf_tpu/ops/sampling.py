@@ -53,7 +53,12 @@ def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # 'compare_all' computes every bin comparison on the VPU in one shot; the
+    # default 'scan' method lowers to a sequential O(log M) loop of dynamic
+    # gathers, which is far slower on TPU for these small bin counts.
+    inds = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="compare_all")
+    )(cdf, u)
     below = jnp.clip(inds - 1, 0, m)
     above = jnp.clip(inds, 0, m)
 

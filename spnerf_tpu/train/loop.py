@@ -167,7 +167,10 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
     def _loss_fn(self, params, batch, key, step):
-        noise_std = self.noise_std0 * jnp.power(0.9, step.astype(jnp.float32))
+        if self.noise_std0 == 0.0:
+            noise_std = 0.0  # static: composite skips its PRNG entirely
+        else:
+            noise_std = self.noise_std0 * jnp.power(0.9, step.astype(jnp.float32))
         results = self._render(
             params,
             batch["rays"],
