@@ -42,15 +42,48 @@ def predefined_val_ts(img_id):
     return 0
 
 
+def _aoi_dirs(args, aoi):
+    """Per-AOI dataset directories. Multi-AOI runs use one dataset dir per AOI:
+    <project>/dataset/DFC2019_<n> by the DFC2019 naming convention, or an
+    explicit --dataset_dir containing an {aoi} placeholder."""
+    if args.dataset_dir and "{aoi}" in args.dataset_dir:
+        base = args.dataset_dir.format(aoi=aoi)
+    elif aoi == args.aoi_id.split(",")[0].strip() and "," not in args.aoi_id:
+        return {"json_dir": args.json_dir, "img_dir": args.img_dir,
+                "depth_dir": args.depth_dir, "sem_dir": args.sem_dir,
+                "gt_dir": args.gt_dir}
+    else:
+        import os as _os
+
+        base = _os.path.join(args.project_dir, "dataset",
+                             f"DFC2019_{aoi.split('_')[-1]}")
+    return {
+        "json_dir": os.path.join(base, "JSON"),
+        "img_dir": os.path.join(base, "RGB", aoi),
+        "depth_dir": os.path.join(base, "Depth"),
+        "sem_dir": os.path.join(base, "Semantic"),
+        "gt_dir": os.path.join(base, "Truth"),
+    }
+
+
 def build_trainer_and_scene(args, mesh=None):
-    scene = load_scene(
-        args.json_dir, args.img_dir, args.depth_dir, args.sem_dir, args.aoi_id,
+    kwargs = dict(
         img_downscale=args.img_downscale, stdscale=args.stdscale,
         margin=args.margin, sem=args.sem, num_sem_classes=args.num_sem_classes,
         dense_ss=args.dense_ss, sem_downscale=args.sem_downscale,
         load_depth=args.depth or args.model == "sp-nerf",
         cache_dir=args.cache_dir,
     )
+    aois = [a.strip() for a in args.aoi_id.split(",") if a.strip()]
+    if len(aois) > 1:
+        from ..data.multi import load_scenes
+
+        scene = load_scenes(aois, lambda a: _aoi_dirs(args, a), **kwargs)
+    else:
+        scene = load_scene(
+            args.json_dir, args.img_dir, args.depth_dir, args.sem_dir,
+            args.aoi_id, **kwargs,
+        )
     steps_per_epoch = max(len(scene) // args.batch_size, 1)
     trainer = Trainer(
         model_config_from_args(args),
@@ -70,12 +103,19 @@ def build_trainer_and_scene(args, mesh=None):
 
 def run_validation(trainer, scene, state, args, epoch, logger, save_images):
     """Render every validation image; log PSNR/SSIM/MAE
-    (reference validation_step, main.py:188-299)."""
+    (reference validation_step, main.py:188-299). `scene` is a SatelliteScene
+    or a MultiScene (multi-AOI)."""
     render = trainer._render_fn or trainer.build_render_fn(chunk=args.chunk)
     params = jax.device_get(state.params)
     all_scalars = []
-    for i, rec in enumerate(scene.val_images):
-        sample = scene.load_val_image(rec, with_sem=args.sem)
+    if hasattr(scene, "validation_items"):
+        items = list(scene.validation_items())
+    else:
+        items = [(args.aoi_id, scene, rec) for rec in scene.val_images]
+    for i, (aoi_id, sub_scene, rec) in enumerate(items):
+        gt_dir = (_aoi_dirs(args, aoi_id)["gt_dir"]
+                  if "," in args.aoi_id else args.gt_dir)
+        sample = sub_scene.load_val_image(rec, with_sem=args.sem)
         t = predefined_val_ts(rec.img_id)
         out = render(params, sample["rays"], t, sample.get("sems"))
         typ = "fine" if "rgb_fine" in out else "coarse"
@@ -90,13 +130,13 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
         mae_v = float("nan")
         try:
             depth = np.asarray(out[f"depth_{typ}"])
-            lats, lons, alts = scene.latlonalt_from_depth(sample["rays"], depth)
+            lats, lons, alts = sub_scene.latlonalt_from_depth(sample["rays"], depth)
             tmp_dsm = os.path.join(out_dir, "dsm",
                                    f"tmp_pred_dsm_{rec.img_id}.tif")
             os.makedirs(os.path.dirname(tmp_dsm), exist_ok=True)
             dsm_from_latlonalt(lats, lons, alts, dsm_path=tmp_dsm)
             mae_v = compute_mae_and_save_dsm_diff(
-                tmp_dsm, rec.img_id, args.aoi_id, args.gt_dir,
+                tmp_dsm, rec.img_id, aoi_id, gt_dir,
                 os.path.join(out_dir, "dsm"), epoch, save=False,
             )
             os.remove(tmp_dsm)
@@ -104,7 +144,7 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
             print(f"MAE computation failed for {rec.img_id}: {exc}")
 
         if save_images:
-            save_nerf_output_to_images(scene, sample, out, out_dir, epoch,
+            save_nerf_output_to_images(sub_scene, sample, out, out_dir, epoch,
                                        args.num_sem_classes)
         scalars = {"psnr": psnr_v, "ssim": ssim_v, "mae": mae_v}
         logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
@@ -153,49 +193,54 @@ def main(argv=None):
     state = trainer.replicate_state(state)
 
     data = trainer.shard_data(scene_to_device_arrays(scene))
-    step_fn = trainer.build_train_step(args.batch_size)
+    # one host dispatch drives a whole logging window via lax.scan — no
+    # per-step dispatch latency, and (on XLA:CPU) no concurrent in-flight
+    # executions of a collective program (which deadlock its rendezvous)
+    window_len = max(1, min(getattr(args, "log_every", 100),
+                            args.max_train_steps))
+    run_window = trainer.build_train_scan(args.batch_size, window_len)
+    run_tail = None
     trainer.build_render_fn(chunk=args.chunk)
     logger = MetricLogger(args.logs_dir)
 
     start_step = int(jax.device_get(state.step))
     run_key = jax.random.PRNGKey(args.seed + 1)
     last_epoch_validated = -1
-    # XLA:CPU deadlocks when several executions of a program containing
-    # collectives are in flight at once (thread-pool rendezvous); serialize
-    # dispatch there. TPU executions serialize on-device, so free-running
-    # dispatch is safe and hides host latency.
-    sync_every_step = mesh is not None and jax.default_backend() == "cpu"
     t0 = time.time()
-    window = start_step
-    for step in range(start_step, args.max_train_steps):
-        state, loss_dict = step_fn(state, data, run_key)
-        if sync_every_step:
-            jax.block_until_ready(loss_dict["loss"])
+    step = start_step
+    while step < args.max_train_steps:
+        remaining = args.max_train_steps - step
+        if remaining >= window_len:
+            state, loss_dict = run_window(state, data, run_key)
+            done = window_len
+        else:
+            if run_tail is None:
+                run_tail = trainer.build_train_scan(args.batch_size, remaining)
+            state, loss_dict = run_tail(state, data, run_key)
+            done = remaining
+        step += done
+
+        ld = jax.device_get(loss_dict)  # sync point
+        dt = time.time() - t0
+        rays_s = done * args.batch_size / max(dt, 1e-9)
+        logger.log(step, {**{k: float(v) for k, v in ld.items()},
+                          "rays_per_sec": rays_s})
+        print(f"step {step}: loss {float(ld['loss']):.5f} "
+              f"psnr {float(ld['psnr']):.2f} | {rays_s:,.0f} rays/s")
+
+        # validation when an eligible epoch boundary was crossed this window
+        # (boundaries align to the window start within < window_len steps)
         epoch = step // steps_per_epoch
-
-        if (step + 1) % 100 == 0 or step + 1 == args.max_train_steps:
-            ld = jax.device_get(loss_dict)  # sync point (also throttles dispatch)
-            dt = time.time() - t0
-            rays_s = (step + 1 - window) * args.batch_size / max(dt, 1e-9)
-            logger.log(step + 1, {**{k: float(v) for k, v in ld.items()},
-                                  "rays_per_sec": rays_s})
-            print(f"step {step + 1}: loss {float(ld['loss']):.5f} "
-                  f"psnr {float(ld['psnr']):.2f} | {rays_s:,.0f} rays/s")
-            t0 = time.time()
-            window = step + 1
-
-        end_of_epoch = (step + 1) % steps_per_epoch == 0
-        if end_of_epoch and epoch != last_epoch_validated and (
-            epoch % args.check_val_every_n_epoch == 0 and epoch > 0
-        ):
+        if (epoch > 0 and epoch != last_epoch_validated
+                and epoch % args.check_val_every_n_epoch == 0
+                and step % steps_per_epoch < window_len):
             last_epoch_validated = epoch
             save_images = epoch % args.save_every_n_epochs == 0
             mean = run_validation(trainer, scene, state, args, epoch, logger,
                                   save_images)
-            ckpt.save(step + 1, state,
+            ckpt.save(step, state,
                       metrics={"val_psnr": mean.get("psnr", float("nan"))})
-            t0 = time.time()
-            window = step + 1
+        t0 = time.time()
 
     mean = run_validation(trainer, scene, state, args,
                           args.max_train_steps // steps_per_epoch, logger, True)

@@ -173,6 +173,8 @@ def build_train_parser():
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas field-evaluation kernel")
     p.add_argument("--check_val_every_n_epoch", type=int, default=2)
+    p.add_argument("--log_every", type=int, default=100,
+                   help="steps per scan window (one host dispatch + log line)")
     return p
 
 

@@ -68,9 +68,9 @@ def pack_params(params, cfg: ModelConfig):
     ws, bs = [], []
     for n in names:
         d = params[f"TorchDense_{idx[n]}"]
-        ws.append(np.asarray(d["kernel"]))
-        bs.append(np.asarray(d["bias"]).reshape(1, -1))
-    sem_table = np.asarray(params["semantic_embedding"]) if cfg.sem else None
+        ws.append(jnp.asarray(d["kernel"]))
+        bs.append(jnp.reshape(jnp.asarray(d["bias"]), (1, -1)))
+    sem_table = jnp.asarray(params["semantic_embedding"]) if cfg.sem else None
     return tuple(names), ws, bs, sem_table
 
 
@@ -99,36 +99,42 @@ def _make_kernel(cfg: ModelConfig, names, compute_dtype):
         def dense(name, x):
             y = jnp.dot(x.astype(cd), w[name][:].astype(cd),
                         preferred_element_type=jnp.float32)
-            return y + b[name][:]
+            # activations carried in compute_dtype: halves the VPU work of the
+            # sin/sigmoid chains, which bound this kernel (MXU ideal is ~4 ms
+            # per 131k points; transcendentals dominate)
+            return (y + b[name][:]).astype(cd)
 
-        x_in = xin_ref[:].astype(jnp.float32)
-        sun = sun_ref[:].astype(jnp.float32)
+        f32 = jnp.float32
+        x_in = xin_ref[:].astype(cd)
+        sun = sun_ref[:].astype(cd)
 
-        h = jnp.sin(30.0 * dense("trunk0", x_in))
+        h = jnp.sin((30.0 * dense("trunk0", x_in).astype(f32)).astype(cd))
         for i in range(1, n_trunk):
             if skip is not None and i == skip:
                 h = jnp.concatenate([h, x_in], axis=-1)
             h = jnp.sin(dense(f"trunk{i}", h))
         shared = h
 
-        out_sigma[:] = jax.nn.softplus(dense("sigma", shared))
+        out_sigma[:] = jax.nn.softplus(
+            dense("sigma", shared).astype(f32))
         feats = dense("feats", shared)
 
         r = jnp.sin(dense("rgb0", feats))
-        out_rgb[:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
+        out_rgb[:] = jax.nn.sigmoid(
+            dense("rgb1", r).astype(f32)) * 1.002 - 0.001
 
         s = jnp.concatenate([feats, sun], axis=-1)
         s = jnp.sin(dense("sun0", s))
         s = jnp.sin(dense("sun1", s))
         s = jnp.sin(dense("sun2", s))
-        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s))
+        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s).astype(f32))
 
         k = jax.nn.relu(dense("sky0", sun))
-        out_sky[:] = jax.nn.sigmoid(dense("sky1", k))
+        out_sky[:] = jax.nn.sigmoid(dense("sky1", k).astype(f32))
 
         if cfg.sem:
             g = jnp.sin(dense("sem0", shared))
-            out_sem[:] = dense("sem1", g)
+            out_sem[:] = dense("sem1", g).astype(f32)
 
     return kernel
 
@@ -221,9 +227,9 @@ class FusedField:
         assert supports_config(cfg), "config not covered by the fused kernel"
         names, ws, bs, sem_table = pack_params(params, cfg)
         self.names = names
-        self.ws = [jnp.asarray(w) for w in ws]
-        self.bs = [jnp.asarray(b) for b in bs]
-        self.sem_table = None if sem_table is None else jnp.asarray(sem_table)
+        self.ws = ws
+        self.bs = bs
+        self.sem_table = sem_table
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         self.interpret = interpret

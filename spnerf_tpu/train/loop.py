@@ -341,12 +341,37 @@ class Trainer:
     # ------------------------------------------------------------- rendering (eval)
     def build_render_fn(self, chunk=40960):
         """Whole-image renderer: jit once at a fixed chunk size, loop on host over
-        padded chunks (eval-time only; the hot training path has no chunking)."""
-        rc_eval = self.rc
+        padded chunks (eval-time only; the hot training path has no chunking).
 
-        @jax.jit
-        def render_chunk(params, rays, ts, sems):
-            return self._render(params, rays, ts, sems, key=None, train=False)
+        With rc.use_pallas (and a supported config), the field is evaluated by
+        the fused Pallas kernel (ops/pallas/field_eval) instead of the XLA
+        layer-by-layer path — forward-only rendering is where the fused kernel
+        pays directly."""
+        use_pallas = False
+        if self.rc.use_pallas and self.fine_model is None:
+            from ..ops.pallas import supports_config
+
+            use_pallas = supports_config(self.mc)
+
+        if use_pallas:
+            from ..ops.pallas import fused_field_apply
+            from ..ops import render_rays as _render_rays
+
+            @jax.jit
+            def render_chunk(params, rays, ts, sems):
+                fused = fused_field_apply(
+                    params["coarse"], self.mc,
+                    compute_dtype=self.rc.compute_dtype,
+                )
+                return _render_rays(
+                    fused, self.rc, rays,
+                    sems=sems if self.mc.sem else None,
+                    key=None, train=False,
+                )
+        else:
+            @jax.jit
+            def render_chunk(params, rays, ts, sems):
+                return self._render(params, rays, ts, sems, key=None, train=False)
 
         def render_image(params, rays, t, sems=None):
             n = rays.shape[0]
