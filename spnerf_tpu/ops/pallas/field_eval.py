@@ -97,44 +97,41 @@ def _make_kernel(cfg: ModelConfig, names, compute_dtype):
         cd = compute_dtype
 
         def dense(name, x):
+            # NOTE: activations stay f32 between layers. A bf16-activation
+            # variant hangs the Mosaic compiler on the tunneled toolchain
+            # (>30 min, no result); revisit when the toolchain updates.
             y = jnp.dot(x.astype(cd), w[name][:].astype(cd),
                         preferred_element_type=jnp.float32)
-            # activations carried in compute_dtype: halves the VPU work of the
-            # sin/sigmoid chains, which bound this kernel (MXU ideal is ~4 ms
-            # per 131k points; transcendentals dominate)
-            return (y + b[name][:]).astype(cd)
+            return y + b[name][:]
 
-        f32 = jnp.float32
-        x_in = xin_ref[:].astype(cd)
-        sun = sun_ref[:].astype(cd)
+        x_in = xin_ref[:].astype(jnp.float32)
+        sun = sun_ref[:].astype(jnp.float32)
 
-        h = jnp.sin((30.0 * dense("trunk0", x_in).astype(f32)).astype(cd))
+        h = jnp.sin(30.0 * dense("trunk0", x_in))
         for i in range(1, n_trunk):
             if skip is not None and i == skip:
                 h = jnp.concatenate([h, x_in], axis=-1)
             h = jnp.sin(dense(f"trunk{i}", h))
         shared = h
 
-        out_sigma[:] = jax.nn.softplus(
-            dense("sigma", shared).astype(f32))
+        out_sigma[:] = jax.nn.softplus(dense("sigma", shared))
         feats = dense("feats", shared)
 
         r = jnp.sin(dense("rgb0", feats))
-        out_rgb[:] = jax.nn.sigmoid(
-            dense("rgb1", r).astype(f32)) * 1.002 - 0.001
+        out_rgb[:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
 
         s = jnp.concatenate([feats, sun], axis=-1)
         s = jnp.sin(dense("sun0", s))
         s = jnp.sin(dense("sun1", s))
         s = jnp.sin(dense("sun2", s))
-        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s).astype(f32))
+        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s))
 
         k = jax.nn.relu(dense("sky0", sun))
-        out_sky[:] = jax.nn.sigmoid(dense("sky1", k).astype(f32))
+        out_sky[:] = jax.nn.sigmoid(dense("sky1", k))
 
         if cfg.sem:
             g = jnp.sin(dense("sem0", shared))
-            out_sem[:] = dense("sem1", g).astype(f32)
+            out_sem[:] = dense("sem1", g)
 
     return kernel
 
