@@ -36,6 +36,7 @@ class ModelConfig:
     t_embedding_dims: int = 4
     beta: bool = False
     sem: bool = False
+    encoding: str = "siren"  # "siren" (SP-NeRF flagship) | "hash" (NGP-style)
 
 
 @dataclass(frozen=True)
@@ -163,6 +164,10 @@ def build_train_parser():
     # strategies
     p.add_argument("--mapping", action="store_true")
     p.add_argument("--guidedsample", action="store_true")
+    p.add_argument("--encoding", type=str, default="siren",
+                   choices=["siren", "hash"],
+                   help="field trunk: siren (SP-NeRF flagship) or hash "
+                        "(Instant-NGP-style multiresolution hash grid)")
     # TPU-native extras (not in the reference)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"],
@@ -214,6 +219,7 @@ def model_config_from_args(args) -> ModelConfig:
         t_embedding_dims=args.t_embbeding_tau,
         beta=args.beta,
         sem=args.sem,
+        encoding=getattr(args, "encoding", "siren"),
     )
 
 

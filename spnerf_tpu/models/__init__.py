@@ -1,3 +1,4 @@
+from .hashgrid import HashGridEncoding, HashSPNeRF, init_hash_spnerf
 from .spnerf import (
     SPNeRF,
     TransientEmbedding,
@@ -5,4 +6,26 @@ from .spnerf import (
     positional_mapping,
 )
 
-__all__ = ["SPNeRF", "TransientEmbedding", "init_spnerf", "positional_mapping"]
+
+def load_model(cfg, compute_dtype=None):
+    """Model factory (reference models/__init__.py:4-16): returns the field
+    module for the configuration. encoding='siren' is the SP-NeRF flagship;
+    encoding='hash' is the Instant-NGP-style hash-grid variant."""
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.float32
+    if getattr(cfg, "encoding", "siren") == "hash":
+        return HashSPNeRF(cfg=cfg, compute_dtype=dtype)
+    return SPNeRF(cfg=cfg, compute_dtype=dtype)
+
+
+__all__ = [
+    "SPNeRF",
+    "HashSPNeRF",
+    "HashGridEncoding",
+    "TransientEmbedding",
+    "init_spnerf",
+    "init_hash_spnerf",
+    "positional_mapping",
+    "load_model",
+]

@@ -1,0 +1,169 @@
+"""Multiresolution hash-grid encoding (Instant-NGP) and a hash-trunk SPNeRF.
+
+Stretch configuration from BASELINE.json (config 5): replace the Siren trunk's
+positional mapping + 8x512 MLP with a multiresolution hash encoding and a small
+MLP, on the same RPC camera model, renderer, losses, and heads.
+
+TPU-native formulation: the per-level lookup is a single `jnp.take` gather of
+the 8 trilinear corners for every (point, level) at once — one big gather the
+TPU handles well — followed by dense (N, L*F) matmuls. All shapes static.
+
+Encoding follows Mueller et al. 2022: per level l, resolution
+N_l = floor(N_min * b^l); corner hash = xor of coordinates times large primes,
+mod table size; features trilinearly interpolated, concatenated across levels.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .spnerf import TorchDense, torch_linear_init
+
+_PRIMES = jnp.array([1, 2654435761, 805459861], dtype=jnp.uint32)
+
+# the 8 corner offsets of a unit cell
+_CORNERS = jnp.array(
+    [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+    dtype=jnp.uint32,
+)  # (8, 3)
+
+
+def _hash_coords(coords, table_size):
+    """coords: (..., 3) uint32 -> (...,) int32 indices in [0, table_size)."""
+    h = (coords * _PRIMES).astype(jnp.uint32)
+    h = h[..., 0] ^ h[..., 1] ^ h[..., 2]
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+class HashGridEncoding(nn.Module):
+    """xyz in [-1, 1]^3 -> (N, n_levels * n_features)."""
+
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    max_resolution: int = 2048
+
+    @nn.compact
+    def __call__(self, xyz):
+        L, F, T = self.n_levels, self.n_features, 2 ** self.log2_table_size
+        b = float(np.exp((np.log(self.max_resolution)
+                          - np.log(self.base_resolution)) / max(L - 1, 1)))
+        resolutions = np.floor(
+            self.base_resolution * b ** np.arange(L)).astype(np.int64)
+
+        table = self.param(
+            "table",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
+                                                  -1e-4, 1e-4),
+            (L, T, F),
+        )
+
+        x01 = jnp.clip((jnp.asarray(xyz, jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+
+        feats = []
+        for l in range(L):
+            res = int(resolutions[l])
+            xs = x01 * res
+            x0 = jnp.floor(xs)
+            frac = xs - x0  # (N, 3)
+            base = x0.astype(jnp.uint32)  # (N, 3)
+            corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
+            idx = _hash_coords(corners, T)  # (N, 8)
+            vals = jnp.take(table[l], idx, axis=0)  # (N, 8, F)
+            # trilinear weights for the (i, j, k) corner ordering of _CORNERS
+            w = jnp.ones(corners.shape[:2], jnp.float32)
+            for d in range(3):
+                cd = _CORNERS[:, d].astype(jnp.float32)[None]  # (1, 8)
+                fd = frac[:, d: d + 1]  # (N, 1)
+                w = w * (cd * fd + (1.0 - cd) * (1.0 - fd))
+            feats.append(jnp.sum(w[..., None] * vals, axis=1))  # (N, F)
+        return jnp.concatenate(feats, axis=-1)  # (N, L*F)
+
+
+class HashSPNeRF(nn.Module):
+    """SPNeRF with a hash-grid trunk: same inputs/outputs as `SPNeRF`
+    (drop-in for the renderer/losses), Instant-NGP-sized MLPs."""
+
+    cfg: ModelConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
+                 sigma_only=False):
+        cfg = self.cfg
+        dense = lambda feats: TorchDense(
+            feats, kernel_init_name="torch", compute_dtype=self.compute_dtype
+        )
+
+        enc = HashGridEncoding(
+            n_levels=self.n_levels, n_features=self.n_features,
+            log2_table_size=self.log2_table_size,
+        )(xyz)
+
+        x_in = enc
+        if cfg.sem:
+            sem_size = cfg.num_sem_classes * cfg.s_embedding_factor
+            table = self.param(
+                "semantic_embedding",
+                lambda key, shape: jax.random.normal(key, shape)
+                .at[cfg.num_sem_classes].set(0.0),
+                (cfg.num_sem_classes + 1, sem_size),
+            )
+            labels = jnp.where(sem_labels < 0, cfg.num_sem_classes,
+                               sem_labels).astype(jnp.int32)
+            x_in = jnp.concatenate(
+                [x_in, jnp.take(table, labels, axis=0).astype(x_in.dtype)],
+                axis=-1)
+
+        h = jax.nn.relu(dense(self.hidden)(x_in))
+        h = jax.nn.relu(dense(self.hidden)(h))
+        shared = h
+
+        sigma = jax.nn.softplus(dense(1)(shared))[..., 0]
+        if sigma_only:
+            return {"sigma": sigma}
+
+        feats = dense(self.hidden)(shared)
+
+        r = jax.nn.relu(dense(self.hidden)(feats))
+        rgb = jax.nn.sigmoid(dense(3)(r))
+        rgb = rgb * 1.002 - 0.001
+
+        s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
+        s = jax.nn.relu(dense(self.hidden)(s))
+        s = jax.nn.relu(dense(self.hidden)(s))
+        sun_v = jax.nn.sigmoid(dense(1)(s))
+
+        k = jax.nn.relu(dense(self.hidden)(sun_d))
+        sky = jax.nn.sigmoid(dense(3)(k))
+
+        out = {"rgb": rgb, "sigma": sigma, "sun_v": sun_v, "sky": sky}
+
+        if cfg.beta:
+            bb = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+            bb = jax.nn.relu(dense(self.hidden)(bb))
+            out["beta"] = jax.nn.softplus(dense(1)(bb))
+
+        if cfg.sem:
+            g = jax.nn.relu(dense(self.hidden)(shared))
+            out["sem_logits"] = dense(cfg.num_sem_classes)(g)
+        return out
+
+
+def init_hash_spnerf(key, cfg: ModelConfig, compute_dtype=jnp.float32, **kw):
+    model = HashSPNeRF(cfg=cfg, compute_dtype=compute_dtype, **kw)
+    xyz = jnp.zeros((2, 3), jnp.float32)
+    sun = jnp.zeros((2, 3), jnp.float32)
+    t_emb = jnp.zeros((2, cfg.t_embedding_dims), jnp.float32) if cfg.beta else None
+    sem = jnp.zeros((2,), jnp.int32) if cfg.sem else None
+    params = model.init(key, xyz, sun, t_emb, sem)
+    return model, params

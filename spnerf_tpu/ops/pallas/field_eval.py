@@ -34,7 +34,8 @@ TILE = 512  # points per grid step
 def supports_config(cfg: ModelConfig) -> bool:
     """Covers the sp-nerf flagship family; the beta/transient path and relu
     variants fall back to the XLA implementation."""
-    return cfg.siren and not cfg.beta and cfg.skips == (4,) and cfg.fc_layers >= 2
+    return (cfg.siren and not cfg.beta and cfg.skips == (4,)
+            and cfg.fc_layers >= 2 and cfg.encoding == "siren")
 
 
 def pack_params(params, cfg: ModelConfig):

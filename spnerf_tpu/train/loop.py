@@ -106,9 +106,11 @@ class Trainer:
         self.mesh = mesh
         self.donate = donate
 
+        from ..models import load_model
+
         dtype = jnp.bfloat16 if rc.compute_dtype == "bfloat16" else jnp.float32
-        self.model = SPNeRF(cfg=mc, compute_dtype=dtype)
-        self.fine_model = SPNeRF(cfg=mc, compute_dtype=dtype) if rc.n_importance > 0 else None
+        self.model = load_model(mc, dtype)
+        self.fine_model = load_model(mc, dtype) if rc.n_importance > 0 else None
         self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
 
         self.tx = optax.adam(make_lr_schedule(lr, steps_per_epoch), b1=0.9, b2=0.999,

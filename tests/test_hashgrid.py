@@ -1,0 +1,129 @@
+"""Hash-grid encoding + hash-trunk field tests, and incidence-angle sorting."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spnerf_tpu.config import ModelConfig
+from spnerf_tpu.models import HashGridEncoding, init_hash_spnerf
+
+
+def test_encoding_shapes_and_range(rng):
+    enc = HashGridEncoding(n_levels=4, n_features=2, log2_table_size=12)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(100, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+    out = enc.apply(params, xyz)
+    assert out.shape == (100, 8)
+    assert np.abs(np.asarray(out)).max() < 1e-3  # tiny init
+
+
+def test_encoding_is_continuous(rng):
+    """Trilinear interpolation: tiny input perturbations give tiny output
+    changes (no hashing discontinuities within a cell interior)."""
+    enc = HashGridEncoding(n_levels=4, n_features=2, log2_table_size=12,
+                           base_resolution=4, max_resolution=32)
+    x0 = jnp.asarray([[0.1234, -0.3456, 0.7]], jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x0)
+    # re-scale table so outputs are visible
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+    a = enc.apply(params, x0)
+    b = enc.apply(params, x0 + 1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+    c = enc.apply(params, x0 + 0.5)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4  # actually varies
+
+
+def test_encoding_gradients_flow(rng):
+    enc = HashGridEncoding(n_levels=2, n_features=2, log2_table_size=10)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(50, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, xyz) ** 2)
+
+    g = jax.grad(loss)(params)
+    table_grad = np.asarray(g["params"]["table"])
+    assert np.any(table_grad != 0)
+
+
+def test_hash_field_outputs(rng):
+    cfg = ModelConfig(sem=True, num_sem_classes=3, encoding="hash")
+    model, params = init_hash_spnerf(jax.random.PRNGKey(0), cfg,
+                                     n_levels=4, log2_table_size=12)
+    n = 33
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
+    sun = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    sems = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    out = model.apply(params, xyz, sun, None, sems)
+    assert out["rgb"].shape == (n, 3)
+    assert out["sigma"].shape == (n,)
+    assert out["sem_logits"].shape == (n, 3)
+    assert jnp.all(out["sigma"] >= 0)
+
+
+def test_hash_field_trains_in_renderer(rng):
+    """End-to-end: the hash field drops into the Trainer and the loss falls."""
+    from spnerf_tpu.config import LossConfig, RenderConfig
+    from spnerf_tpu.train.loop import Trainer
+
+    mc = ModelConfig(encoding="hash", sem=False)
+    rc = RenderConfig(n_samples=6, compute_dtype="float32")
+    tr = Trainer(mc, rc, LossConfig(), lr=5e-3, steps_per_epoch=50,
+                 max_steps=500)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    n = 1024
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    d = np.tile(np.array([[0.1, 0.2, -0.97]], np.float32), (n, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sun = d.copy()
+    rays = np.concatenate([o, d, np.zeros((n, 1), np.float32),
+                           np.full((n, 1), 1.2, np.float32), sun], -1)
+    data = {
+        "rays": jnp.asarray(rays),
+        "rgbs": jnp.asarray(np.tile([[0.3, 0.6, 0.2]], (n, 1)).astype(np.float32)),
+        "ids": jnp.zeros(n, jnp.int32),
+        "depths": jnp.zeros((n, 2), jnp.float32),
+        "valid_depth": jnp.zeros(n, jnp.float32),
+        "depth_std": jnp.zeros(n, jnp.float32),
+        "sems": jnp.full((n,), -100, jnp.int32),
+    }
+    step = tr.build_train_step(128)
+    state, ld0 = step(state, data, jax.random.PRNGKey(1))
+    first = float(ld0["loss"])
+    for _ in range(30):
+        state, ld = step(state, data, jax.random.PRNGKey(1))
+        jax.block_until_ready(ld["loss"])
+    assert float(ld["loss"]) < first * 0.5
+
+
+def test_incidence_angle_sorting(dfc269_json_dir):
+    from spnerf_tpu.geo.angles import (
+        solar_incidence_angle,
+        sort_by_increasing_solar_incidence_angle,
+        sort_by_increasing_view_incidence_angle,
+        view_incidence_angle,
+    )
+    import json
+
+    paths = sort_by_increasing_view_incidence_angle(dfc269_json_dir)
+    assert len(paths) >= 3
+    angles = []
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        from spnerf_tpu.geo import RPCModel
+
+        rpc = RPCModel.from_dict(d["rpc"])
+        lon_c, lat_c = d["geojson"]["center"][:2]
+        angles.append(view_incidence_angle(rpc, lon_c, lat_c))
+    assert angles == sorted(angles)
+    assert all(0 <= a < 60 for a in angles)  # satellite view angles
+
+    spaths = sort_by_increasing_solar_incidence_angle(dfc269_json_dir)
+    assert len(spaths) == len(paths)
+    assert solar_incidence_angle(90.0, 0.0) == pytest.approx(0.0)
+    assert solar_incidence_angle(0.0, 90.0) == pytest.approx(90.0)
