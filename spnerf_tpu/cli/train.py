@@ -146,6 +146,34 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
         if save_images:
             save_nerf_output_to_images(sub_scene, sample, out, out_dir, epoch,
                                        args.num_sem_classes)
+
+        # TensorBoard image grid: GT / prediction / depth (+ sem colors),
+        # like reference main.py:221-250
+        try:
+            from ..evaluation.outputs import (
+                convert_semantic_to_color,
+                visualize_depth,
+            )
+
+            grid = [np.moveaxis(np.asarray(gt), -1, 0),
+                    np.moveaxis(np.asarray(img), -1, 0),
+                    np.moveaxis(
+                        visualize_depth(
+                            np.asarray(out[f"depth_{typ}"]).reshape(h, w)
+                        ).astype(np.float32) / 255.0, -1, 0)]
+            if f"sem_logits_{typ}" in out and "sems" in sample:
+                pred_sem = np.argmax(out[f"sem_logits_{typ}"], -1).reshape(h, w)
+                gt_sem = np.asarray(sample["sems"]).reshape(h, w)
+                for sm in (gt_sem, pred_sem):
+                    grid.append(np.moveaxis(
+                        convert_semantic_to_color(
+                            sm, args.num_sem_classes
+                        ).astype(np.float32) / 255.0, -1, 0))
+            logger.log_images(int(state.step),
+                              f"{split}_{i}/GT_pred_depth_sems",
+                              np.stack(grid))
+        except Exception:
+            pass
         scalars = {"psnr": psnr_v, "ssim": ssim_v, "mae": mae_v}
         logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
         if split == "val":

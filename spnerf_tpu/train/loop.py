@@ -113,8 +113,8 @@ class Trainer:
         self.fine_model = load_model(mc, dtype) if rc.n_importance > 0 else None
         self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
 
-        self.tx = optax.adam(make_lr_schedule(lr, steps_per_epoch), b1=0.9, b2=0.999,
-                             eps=1e-8)
+        self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
+        self.tx = optax.adam(self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
         self._train_step = None
         self._render_fn = None
 
@@ -220,6 +220,7 @@ class Trainer:
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt)
         loss_dict["loss"] = loss
+        loss_dict["lr"] = self.lr_schedule(state.step)
         return new_state, loss_dict
 
     def build_train_step(self, batch_size):

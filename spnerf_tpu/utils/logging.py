@@ -26,6 +26,15 @@ class MetricLogger:
             except Exception:
                 self._tb = None
 
+    def log_images(self, step, tag, stack):
+        """stack: (N, 3, H, W) float [0,1] image grid (reference main.py:250
+        logs GT/pred/depth/sem grids per validation image)."""
+        if self._tb is not None:
+            import numpy as np
+
+            self._tb.add_images(tag, np.asarray(stack, dtype=np.float32),
+                                int(step))
+
     def log(self, step, scalars, split="train"):
         rec = {"step": int(step), "split": split, "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
