@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import ModelConfig
+from ...models.spnerf import fast_sin
 
 TILE = 512  # points per grid step
 
@@ -108,30 +109,30 @@ def _make_kernel(cfg: ModelConfig, names, compute_dtype):
         x_in = xin_ref[:].astype(jnp.float32)
         sun = sun_ref[:].astype(jnp.float32)
 
-        h = jnp.sin(30.0 * dense("trunk0", x_in))
+        h = fast_sin(30.0 * dense("trunk0", x_in))
         for i in range(1, n_trunk):
             if skip is not None and i == skip:
                 h = jnp.concatenate([h, x_in], axis=-1)
-            h = jnp.sin(dense(f"trunk{i}", h))
+            h = fast_sin(dense(f"trunk{i}", h))
         shared = h
 
         out_sigma[:] = jax.nn.softplus(dense("sigma", shared))
         feats = dense("feats", shared)
 
-        r = jnp.sin(dense("rgb0", feats))
+        r = fast_sin(dense("rgb0", feats))
         out_rgb[:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
 
         s = jnp.concatenate([feats, sun], axis=-1)
-        s = jnp.sin(dense("sun0", s))
-        s = jnp.sin(dense("sun1", s))
-        s = jnp.sin(dense("sun2", s))
+        s = fast_sin(dense("sun0", s))
+        s = fast_sin(dense("sun1", s))
+        s = fast_sin(dense("sun2", s))
         out_sunv[:] = jax.nn.sigmoid(dense("sun3", s))
 
         k = jax.nn.relu(dense("sky0", sun))
         out_sky[:] = jax.nn.sigmoid(dense("sky1", k))
 
         if cfg.sem:
-            g = jnp.sin(dense("sem0", shared))
+            g = fast_sin(dense("sem0", shared))
             out_sem[:] = dense("sem1", g)
 
     return kernel
