@@ -52,6 +52,8 @@ class RenderConfig:
     perturb: float = 1.0  # reference hard-codes 1.0 (modules/rendering.py:125)
     compute_dtype: str = "float32"  # "bfloat16" on TPU for the MLP matmuls
     use_pallas: bool = False  # fused Pallas MLP kernel for the field evaluation
+    proposal: bool = False  # density-only proposal sampler (NGP-class stretch)
+    n_proposal: int = 64  # proposal samples per ray
 
 
 @dataclass(frozen=True)
@@ -69,6 +71,7 @@ class LossConfig:
     sem: bool = False
     ss_lambda: float = 4e-2
     first_beta_epoch: int = 2
+    prop_lambda: float = 1.0  # proposal interlevel loss weight (stretch path)
 
 
 SEMANTIC_CONFIG = {
@@ -168,6 +171,11 @@ def build_train_parser():
                    choices=["siren", "hash"],
                    help="field trunk: siren (SP-NeRF flagship) or hash "
                         "(Instant-NGP-style multiresolution hash grid)")
+    p.add_argument("--proposal", action="store_true",
+                   help="density-only proposal network places the main "
+                        "field's samples (interlevel loss)")
+    p.add_argument("--n_proposal", type=int, default=64)
+    p.add_argument("--prop_lambda", type=float, default=1.0)
     # TPU-native extras (not in the reference)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"],
@@ -233,6 +241,8 @@ def render_config_from_args(args) -> RenderConfig:
         sem=args.sem,
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
         use_pallas=getattr(args, "use_pallas", False),
+        proposal=getattr(args, "proposal", False),
+        n_proposal=getattr(args, "n_proposal", 64),
     )
 
 
@@ -249,6 +259,7 @@ def loss_config_from_args(args) -> LossConfig:
         sem=args.sem,
         ss_lambda=args.ss_lambda,
         first_beta_epoch=args.first_beta_epoch,
+        prop_lambda=getattr(args, "prop_lambda", 1.0),
     )
 
 

@@ -65,6 +65,7 @@ def render_rays(
     target_std=None,
     noise_std=0.0,
     fine_field_apply=None,
+    proposal_apply=None,
 ):
     """Render a batch of rays.
 
@@ -97,7 +98,24 @@ def render_rays(
     sun_d = rays[:, 8:11]
     near0, far0 = near[0, 0], far[0, 0]
 
-    z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples, rc.perturb)
+    prop_extras = {}
+    if rc.proposal and proposal_apply is not None:
+        # density-only proposal pass places the main samples
+        # (ops/proposal.py; not in the reference — NGP-class stretch)
+        from .proposal import density_weights, resample_from_weights
+
+        z_prop = stratified_z_vals(get("strat"), near, far, rc.n_proposal,
+                                   rc.perturb)
+        xyz_prop = (rays_o[:, None, :]
+                    + rays_d[:, None, :] * z_prop[:, :, None]).reshape(-1, 3)
+        sigmas_prop = proposal_apply(xyz_prop).reshape(z_prop.shape)
+        w_prop = density_weights(sigmas_prop, z_prop)
+        z_vals = resample_from_weights(get("pdf"), z_prop, w_prop,
+                                       rc.n_samples, det=(rc.perturb == 0.0))
+        prop_extras = {"z_prop": z_prop, "w_prop": w_prop}
+    else:
+        z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples,
+                                   rc.perturb)
     result = _inference(
         field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
         noise_std, get("noise0"),
@@ -137,6 +155,7 @@ def render_rays(
         result["sun_sc"] = sc["sun"]
 
     out = {f"{k}_coarse": v for k, v in result.items()}
+    out.update({f"{k}_coarse": v for k, v in prop_extras.items()})
 
     if rc.n_importance > 0:
         z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])

@@ -112,6 +112,11 @@ class Trainer:
         self.model = load_model(mc, dtype)
         self.fine_model = load_model(mc, dtype) if rc.n_importance > 0 else None
         self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
+        self.proposal_model = None
+        if rc.proposal:
+            from ..models.proposal import ProposalField
+
+            self.proposal_model = ProposalField()
 
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
         self.tx = optax.adam(self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
@@ -130,6 +135,9 @@ class Trainer:
             params["fine"] = self.fine_model.init(k2, xyz, sun, t_emb, sem)["params"]
         if self.t_embed is not None:
             params["t"] = self.t_embed.init(k3, jnp.zeros((2,), jnp.int32))["params"]
+        if self.proposal_model is not None:
+            params["proposal"] = self.proposal_model.init(
+                jax.random.fold_in(key, 99), jnp.zeros((2, 3)))["params"]
         opt_state = self.tx.init(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state)
@@ -152,6 +160,10 @@ class Trainer:
         fine_apply = (
             self._field_apply(params, "fine") if self.fine_model is not None else None
         )
+        proposal_apply = None
+        if self.proposal_model is not None:
+            proposal_apply = lambda xyz: self.proposal_model.apply(
+                {"params": params["proposal"]}, xyz)
         return render_rays(
             self._field_apply(params, "coarse"),
             self.rc,
@@ -165,6 +177,7 @@ class Trainer:
             target_std=target_std,
             noise_std=noise_std,
             fine_field_apply=fine_apply,
+            proposal_apply=proposal_apply,
         )
 
     # ------------------------------------------------------------ train step
@@ -191,6 +204,15 @@ class Trainer:
             self.ds_drop_step, self.ss_drop_step,
             use_beta_loss=use_beta,
         )
+        if "w_prop_coarse" in results:
+            from ..ops.proposal import interlevel_loss
+
+            prop = self.lc.prop_lambda * interlevel_loss(
+                results["z_prop_coarse"], results["w_prop_coarse"],
+                results["z_vals_coarse"], results["weights_coarse"],
+            )
+            total = total + prop
+            loss_dict["coarse_prop"] = prop
         typ = "fine" if f"rgb_fine" in results else "coarse"
         mse = jnp.mean((results[f"rgb_{typ}"] - batch["rgbs"]) ** 2)
         loss_dict["psnr"] = -10.0 * jnp.log10(mse)
