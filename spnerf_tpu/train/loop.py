@@ -118,6 +118,17 @@ class Trainer:
 
             self.proposal_model = ProposalField()
 
+        # fused Pallas trunk (fwd+bwd custom VJP) for the training path
+        self._fused_train_apply = None
+        if rc.use_pallas:
+            from ..ops.pallas import supports_config
+            from ..ops.pallas.trunk_train import make_fused_train_field
+
+            if supports_config(mc):
+                self._fused_train_apply = make_fused_train_field(
+                    mc, compute_dtype_name=rc.compute_dtype,
+                    interpret=jax.default_backend() == "cpu")
+
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
         self.tx = optax.adam(self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
         self._train_step = None
@@ -144,6 +155,13 @@ class Trainer:
 
     # ------------------------------------------------------------- rendering
     def _field_apply(self, params, which="coarse"):
+        if self._fused_train_apply is not None:
+            fused = self._fused_train_apply
+
+            def apply(xyz, sun_d, t_emb, sem_labels):
+                return fused(params[which], xyz, sun_d, t_emb, sem_labels)
+
+            return apply
         model = self.model if which == "coarse" else self.fine_model
 
         def apply(xyz, sun_d, t_emb, sem_labels):
