@@ -400,11 +400,14 @@ class Trainer:
             from ..ops.pallas import fused_field_apply
             from ..ops import render_rays as _render_rays
 
+            interpret = jax.default_backend() == "cpu"
+
             @jax.jit
             def render_chunk(params, rays, ts, sems):
                 fused = fused_field_apply(
                     params["coarse"], self.mc,
                     compute_dtype=self.rc.compute_dtype,
+                    interpret=interpret,
                 )
                 return _render_rays(
                     fused, self.rc, rays,
