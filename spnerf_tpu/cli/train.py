@@ -53,10 +53,8 @@ def _aoi_dirs(args, aoi):
                 "depth_dir": args.depth_dir, "sem_dir": args.sem_dir,
                 "gt_dir": args.gt_dir}
     else:
-        import os as _os
-
-        base = _os.path.join(args.project_dir, "dataset",
-                             f"DFC2019_{aoi.split('_')[-1]}")
+        base = os.path.join(args.project_dir, "dataset",
+                            f"DFC2019_{aoi.split('_')[-1]}")
     return {
         "json_dir": os.path.join(base, "JSON"),
         "img_dir": os.path.join(base, "RGB", aoi),

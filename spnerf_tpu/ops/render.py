@@ -88,7 +88,7 @@ def render_rays(
     keys = {}
     if key is not None:
         names = ["strat", "noise0", "guided", "noise1", "sc_noise", "pdf",
-                 "noise_fine", "sc_noise_fine"]
+                 "noise_fine", "sc_noise_fine", "prop_pdf"]
         for name, k in zip(names, jax.random.split(key, len(names))):
             keys[name] = k
     get = keys.get
@@ -110,7 +110,7 @@ def render_rays(
                     + rays_d[:, None, :] * z_prop[:, :, None]).reshape(-1, 3)
         sigmas_prop = proposal_apply(xyz_prop).reshape(z_prop.shape)
         w_prop = density_weights(sigmas_prop, z_prop)
-        z_vals = resample_from_weights(get("pdf"), z_prop, w_prop,
+        z_vals = resample_from_weights(get("prop_pdf"), z_prop, w_prop,
                                        rc.n_samples, det=(rc.perturb == 0.0))
         prop_extras = {"z_prop": z_prop, "w_prop": w_prop}
     else:

@@ -148,7 +148,6 @@ def depth_loss(
             )
             apply_mask = jnp.logical_and(valid, off_distribution)
         maskf = apply_mask.astype(pred_depth.dtype)
-        n_applied = jnp.sum(maskf)
         if lc.gnll:
             var = jnp.maximum(pred_std, _EPS_GNLL)
             nll = 0.5 * (jnp.log(var) + (pred_depth - target_depth) ** 2 / var)
@@ -157,7 +156,6 @@ def depth_loss(
         else:
             sq = target_weight * (pred_depth - target_depth) ** 2
             loss_dict[f"{typ}_ds"] = lam * jnp.sum(sq * maskf) / n_rays
-        del n_applied
 
     total = sum(loss_dict.values()) if loss_dict else jnp.float32(0.0)
     return total, loss_dict
