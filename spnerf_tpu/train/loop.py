@@ -382,14 +382,25 @@ class Trainer:
         return jax.device_put(state, sharding)
 
     # ------------------------------------------------------------- rendering (eval)
-    def build_render_fn(self, chunk=40960):
+    def build_render_fn(self, chunk=40960, max_points=1_500_000):
         """Whole-image renderer: jit once at a fixed chunk size, loop on host over
         padded chunks (eval-time only; the hot training path has no chunking).
+
+        The ray chunk is capped so rays x samples stays under `max_points`:
+        a full sp-nerf eval pass touches n_samples x (2 if guided) (+ solar
+        pass) points per ray, and (N, 512) activations at millions of points
+        OOM a 16 GB chip (seen at chunk=40960 x 256 samples).
 
         With rc.use_pallas (and a supported config), the field is evaluated by
         the fused Pallas kernel (ops/pallas/field_eval) instead of the XLA
         layer-by-layer path — forward-only rendering is where the fused kernel
         pays directly."""
+        samples_per_ray = self.rc.n_samples * (2 if self.rc.guidedsample else 1)
+        samples_per_ray += self.rc.n_importance
+        if self.rc.solar_correction:
+            samples_per_ray *= 2
+        chunk = max(min(chunk, max_points // max(samples_per_ray, 1)), 1024)
+
         use_pallas = False
         if self.rc.use_pallas and self.fine_model is None:
             from ..ops.pallas import supports_config
