@@ -430,6 +430,28 @@ class Trainer:
             def render_chunk(params, rays, ts, sems):
                 return self._render(params, rays, ts, sems, key=None, train=False)
 
+        if self.mesh is not None:
+            # shard eval rendering over rays: each device renders chunk/n_dev
+            # rays of the chunk, outputs gathered (SURVEY.md section 5 —
+            # "eval-image rendering sharded over rays and all-gathered")
+            mesh = self.mesh
+            axis = mesh.axis_names[0]
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            chunk = max(chunk // n_dev * n_dev, n_dev)
+            inner = render_chunk
+
+            @jax.jit
+            def render_chunk(params, rays, ts, sems):
+                def shard_fn(params, rays, ts, sems):
+                    return inner(params, rays, ts, sems)
+
+                return jax.shard_map(
+                    shard_fn, mesh=mesh,
+                    in_specs=(P(), P(axis), P(axis), P(axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )(params, rays, ts, sems)
+
         def render_image(params, rays, t, sems=None):
             n = rays.shape[0]
             outs = []
