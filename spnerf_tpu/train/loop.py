@@ -455,6 +455,15 @@ class Trainer:
         def render_image(params, rays, t, sems=None):
             n = rays.shape[0]
             outs = []
+            pending = []  # depth-2 dispatch pipeline hides host<->device latency
+
+            def materialize(item):
+                out, pad = item
+                out = jax.tree_util.tree_map(np.asarray, out)
+                if pad:
+                    out = {k: v[: chunk - pad] for k, v in out.items()}
+                outs.append(out)
+
             for i in range(0, n, chunk):
                 sl = slice(i, min(i + chunk, n))
                 r = rays[sl]
@@ -463,7 +472,6 @@ class Trainer:
                     pad = chunk - r.shape[0]
                     r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
                 ts = np.full((chunk,), t, np.int32)
-                sm = None
                 if sems is not None:
                     sm = sems[sl]
                     if pad:
@@ -472,10 +480,11 @@ class Trainer:
                 else:
                     sm = jnp.zeros((chunk,), jnp.int32)
                 out = render_chunk(params, jnp.asarray(r), jnp.asarray(ts), sm)
-                out = jax.tree_util.tree_map(np.asarray, out)
-                if pad:
-                    out = {k: v[: chunk - pad] for k, v in out.items()}
-                outs.append(out)
+                pending.append((out, pad))
+                if len(pending) >= 2:
+                    materialize(pending.pop(0))
+            for item in pending:
+                materialize(item)
             return {k: np.concatenate([o[k] for o in outs], axis=0)
                     for k in outs[0]}
 
