@@ -120,8 +120,11 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
         h, w = sample["h"], sample["w"]
         img = out[f"rgb_{typ}"].reshape(h, w, 3)
         gt = sample["rgbs"].reshape(h, w, 3)
-        psnr_v = float(psnr(img, gt))
-        ssim_v = float(ssim(img, gt))
+        # metrics on the CPU backend: the tunneled 'axon' TPU platform
+        # miscompiles the SSIM depthwise convolution (observed SSIM > 1)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            psnr_v = float(psnr(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
+            ssim_v = float(ssim(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
 
         split = "train" if i == 0 else "val"  # image 0 is the train-debug view
         out_dir = os.path.join(args.logs_dir, split)
