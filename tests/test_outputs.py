@@ -1,0 +1,78 @@
+"""Output-image contract + offline eval CLI over synthetic artifacts (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spnerf_tpu.evaluation.outputs import (
+    convert_semantic_to_color,
+    remap_semantics_to_original,
+    visualize_depth,
+)
+
+
+def test_visualize_depth_shape(rng):
+    d = rng.uniform(0, 50, size=(20, 30))
+    img = visualize_depth(d)
+    assert img.shape == (20, 30, 3)
+    assert img.dtype == np.uint8
+
+
+def test_semantic_color_and_remap():
+    sem = np.array([[0, 1], [2, 0]])
+    color = convert_semantic_to_color(sem, 3)
+    np.testing.assert_array_equal(color[0, 0], [0, 255, 0])   # ground
+    np.testing.assert_array_equal(color[0, 1], [255, 0, 0])   # buildings
+    np.testing.assert_array_equal(color[1, 0], [0, 0, 255])   # water
+    remapped = remap_semantics_to_original(sem, 3)
+    np.testing.assert_array_equal(remapped, [[2, 6], [9, 2]])
+    # unknown label -> 65 (unlabeled)
+    assert remap_semantics_to_original(np.array([[7]]), 3)[0, 0] == 65
+
+
+def test_offline_eval_cli_on_synthetic_run(tmp_path, rng, dfc269_root):
+    """Build a fake training-output tree + dataset and run eval_aoi end to end."""
+    import types
+
+    from spnerf_tpu.cli.evaluate import eval_aoi
+    from spnerf_tpu.io import write_geotiff
+
+    aoi = "JAX_269"
+    size, res = 64, 0.5
+    xoff, yoff = 500.0, 2000.0
+    dataset = tmp_path / "dataset"
+    (dataset / "Truth").mkdir(parents=True)
+    (dataset / "RGB" / aoi).mkdir(parents=True)
+    gt_dsm = rng.normal(size=(size, size)) * 2 + 30
+    write_geotiff(str(dataset / "Truth" / f"{aoi}_DSM.tif"),
+                  gt_dsm.astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+    np.savetxt(dataset / "Truth" / f"{aoi}_DSM.txt", [xoff, yoff, size, res])
+
+    gt_rgb = rng.uniform(size=(48, 50, 3)).astype(np.float32)
+    src_id = f"{aoi}_006_RGB"
+    write_geotiff(str(dataset / "RGB" / aoi / f"{src_id}.tif"), gt_rgb)
+
+    logs = tmp_path / "output" / "exp" / "logs"
+    for sub in ("dsm", "rgb"):
+        (logs / "val" / sub).mkdir(parents=True)
+    write_geotiff(str(logs / "val" / "dsm" / f"{src_id}_epoch3.tif"),
+                  (gt_dsm + 1.0).astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+    pred_rgb = np.clip(gt_rgb + rng.normal(size=gt_rgb.shape) * 0.05, 0, 1)
+    write_geotiff(str(logs / "val" / "rgb" / f"{src_id}_epoch3.tif"),
+                  pred_rgb.astype(np.float32))
+
+    args = types.SimpleNamespace(
+        logs_dir=str(logs), dataset_dir=str(dataset),
+        output_dir=str(tmp_path / "output" / "exp" / "eval"), epoch_number=3,
+    )
+    means = eval_aoi(args)
+    assert means["mae"] < 0.05  # constant bias removed by registration
+    assert 20 < means["psnr"] < 40
+    assert 0 < means["ssim"] <= 1
+    # residual maps written
+    out_dir = os.path.join(args.output_dir, "dsm_diff")
+    assert os.path.exists(os.path.join(
+        out_dir, f"{src_id}_residual_map_original.png"))
