@@ -29,8 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...models.spnerf import fast_sin
 
-TILE_FWD = 512
-TILE_BWD = 128  # bwd holds dW accumulators + recomputed activations in VMEM
+import os as _os
+
+TILE_FWD = int(_os.environ.get("SPNERF_TILE_FWD", 512))
+# bwd holds dW accumulators + recomputed activations in VMEM; 128 fits the
+# flagship 8x512 trunk with headroom, 256 is worth trying per toolchain
+TILE_BWD = int(_os.environ.get("SPNERF_TILE_BWD", 128))
 
 
 def _fast_cos(x):
