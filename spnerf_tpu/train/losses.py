@@ -67,8 +67,10 @@ def satnerf_loss(results, target_rgb, lc: LossConfig, beta_min=0.05):
     """Beta-uncertainty color loss + log-beta regularizer (+ solar terms).
 
     Reference: SatNerfLoss + uncertainty_aware_loss (modules/metrics.py:10-14,48-65).
-    Note the reference composites `beta_coarse` for BOTH passes (metrics.py:11) —
-    kept as-is for parity.
+    Deviation (documented): the reference indexes `beta_coarse` for BOTH passes
+    (metrics.py:11), which shape-errors whenever n_importance > 0 adds samples —
+    the beta+fine combination is unusable there. Here each pass composites its
+    own beta (identical to the reference in every configuration that runs).
     """
     loss_dict = {}
     for typ in ("coarse", "fine"):
@@ -77,8 +79,9 @@ def satnerf_loss(results, target_rgb, lc: LossConfig, beta_min=0.05):
         pass_result = {k[: -len(typ) - 1]: v for k, v in results.items()
                        if k.endswith(f"_{typ}")}
         weights = pass_result["weights"]  # (R, S)
+        beta_per_sample = results.get(f"beta_{typ}", results["beta_coarse"])
         beta = (
-            jnp.sum(weights[..., None] * results["beta_coarse"], axis=-2) + beta_min
+            jnp.sum(weights[..., None] * beta_per_sample, axis=-2) + beta_min
         )  # (R, 1)
         loss_dict[f"{typ}_color"] = jnp.mean(
             (pass_result["rgb"] - target_rgb) ** 2 / (2.0 * beta**2)
