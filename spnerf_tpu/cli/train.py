@@ -227,6 +227,10 @@ def main(argv=None):
     # executions of a collective program (which deadlock its rendezvous)
     window_len = max(1, min(getattr(args, "log_every", 100),
                             args.max_train_steps))
+    if args.encoding == "hash":
+        # long scans of the gather-heavy hash-encoding step crash the TPU
+        # runtime ("kernel fault"; 200-iteration scan reproduces, 50 is safe)
+        window_len = min(window_len, 50)
     run_window = trainer.build_train_scan(args.batch_size, window_len)
     run_tail = None
     trainer.build_render_fn(chunk=args.chunk)
