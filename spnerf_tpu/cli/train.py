@@ -241,7 +241,17 @@ def main(argv=None):
     last_epoch_validated = -1
     t0 = time.time()
     step = start_step
+    profiled = False
     while step < args.max_train_steps:
+        # profile the second window (steady-state, post-compile)
+        do_profile = (getattr(args, "profile", False) and not profiled
+                      and step >= start_step + window_len)
+        if do_profile:
+            from ..utils.profiling import trace as profile_trace
+
+            profiled = True
+            profile_cm = profile_trace(os.path.join(args.logs_dir, "profile"))
+            profile_cm.__enter__()
         remaining = args.max_train_steps - step
         if remaining >= window_len:
             state, loss_dict = run_window(state, data, run_key)
@@ -254,6 +264,8 @@ def main(argv=None):
         step += done
 
         ld = jax.device_get(loss_dict)  # sync point
+        if do_profile:
+            profile_cm.__exit__(None, None, None)
         dt = time.time() - t0
         rays_s = done * args.batch_size / max(dt, 1e-9)
         logger.log(step, {**{k: float(v) for k, v in ld.items()},

@@ -188,6 +188,10 @@ def build_train_parser():
     p.add_argument("--check_val_every_n_epoch", type=int, default=2)
     p.add_argument("--log_every", type=int, default=100,
                    help="steps per scan window (one host dispatch + log line)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the second training "
+                        "window into <logs>/profile (reference only exposes "
+                        "Lightning's profiler='simple', main.py:333)")
     return p
 
 
