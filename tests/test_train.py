@@ -107,3 +107,32 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     state2, ld2 = step(restored, data, jax.random.PRNGKey(1))
     assert int(state2.step) == 4
     mgr2.close()
+
+
+def test_scan_matches_stepwise(rng):
+    """build_train_scan(k) must produce bitwise the same state as k calls of
+    build_train_step (same PRNG: fold_in(key, state.step))."""
+    mc, rc, lc = _tiny_configs()
+    data = {k: jnp.asarray(v) for k, v in _fake_data(rng, 512).items()}
+    key = jax.random.PRNGKey(3)
+
+    tr1 = Trainer(mc, rc, lc, lr=1e-3, steps_per_epoch=10, max_steps=100,
+                  donate=False)
+    s1 = tr1.init_state(jax.random.PRNGKey(0))
+    step = tr1.build_train_step(64)
+    for _ in range(5):
+        s1, ld1 = step(s1, data, key)
+        jax.block_until_ready(ld1["loss"])
+
+    tr2 = Trainer(mc, rc, lc, lr=1e-3, steps_per_epoch=10, max_steps=100,
+                  donate=False)
+    s2 = tr2.init_state(jax.random.PRNGKey(0))
+    run = tr2.build_train_scan(64, 5)
+    s2, ld2 = run(s2, data, key)
+
+    assert int(s1.step) == int(s2.step) == 5
+    np.testing.assert_allclose(float(ld1["loss"]), float(ld2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
