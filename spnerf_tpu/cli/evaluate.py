@@ -66,6 +66,20 @@ def eval_aoi(args):
     suffix = f"_epoch{epoch}.tif"
     files = sorted(f for f in os.listdir(pred_dsm_dir) if f.endswith(suffix))
 
+    # fail loudly up front when LPIPS weights are absent: the reference always
+    # reports LPIPS (eval.py:128-135), so silently averaging NaNs would
+    # misrepresent a headline metric. --skip_lpips opts out explicitly.
+    from ..evaluation.lpips import load_weights as _load_lpips_weights
+
+    compute_lpips = not getattr(args, "skip_lpips", False)
+    if compute_lpips and _load_lpips_weights() is None:
+        raise SystemExit(
+            "LPIPS weights not found: set SPNERF_LPIPS_WEIGHTS to an .npz "
+            "produced by spnerf_tpu.evaluation.lpips.convert_torch_lpips_to_npz"
+            " (run it on any machine with torch+lpips installed), or pass "
+            "--skip_lpips to evaluate without the LPIPS metric."
+        )
+
     stats = {"psnr": [], "ssim": [], "mae": [], "lpips": []}
     for fname in files:
         src_id = fname[: -len(suffix)]
@@ -102,7 +116,7 @@ def eval_aoi(args):
             ).astype(np.float32)
         psnr_v = float(psnr(pred_rgb, gt_rgb))
         ssim_v = float(ssim(pred_rgb, gt_rgb))
-        lpips_v = lpips_fn(pred_rgb, gt_rgb)
+        lpips_v = lpips_fn(pred_rgb, gt_rgb) if compute_lpips else float("nan")
 
         for k, v in (("psnr", psnr_v), ("ssim", ssim_v), ("mae", mae_v),
                      ("lpips", lpips_v)):
@@ -125,6 +139,8 @@ def build_test_parser():
     p.add_argument("--exp_name", type=str, required=True)
     p.add_argument("--dataset_dir", type=str, required=True)
     p.add_argument("--epoch_number", type=int, default=28)
+    p.add_argument("--skip_lpips", action="store_true",
+                   help="evaluate without LPIPS (no weights available)")
     return p
 
 

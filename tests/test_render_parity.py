@@ -92,8 +92,8 @@ def test_render_rays_matches_reference(zero_randomness, rng, guided, sc):
             target_std=torch.from_numpy(tstd),
         )
 
-    def apply(xyz, sun_d, t_emb, sem_labels):
-        return model.apply(params, xyz, sun_d, t_emb, sem_labels)
+    def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
+        return model.apply(params, xyz, sun_d, t_emb, sem_labels, heads=heads)
 
     ours = render_rays(
         apply, rc, jnp.asarray(rays), sems=jnp.asarray(sems.astype(np.int32)),
