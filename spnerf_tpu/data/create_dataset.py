@@ -15,11 +15,17 @@ Self-contained replacements for the reference's external deps:
   * The AOI reference altitude comes from the truth DSM's mean (the reference
     queries SRTM4, which needs network data).
   * Bundle adjustment (`sat-bundleadjust`) is an external pipeline in the
-    reference too (run_ba, :42-97); here it is gated: if its output directory
-    (`ba_files/`) exists we consume the adjusted RPCs, otherwise original RPCs
-    are used and a note is printed. Sun angles can be supplied via a
-    `<aoi>_sunangles.txt` file (img el az per line) since the reference reads
-    them from NITF tags on a private MSI server (:111-146).
+    reference too (run_ba, :42-97); `run_ba` here mirrors it exactly (same
+    pipeline construction, tracks config, log capture, ba_params contract)
+    and is invoked by `--ba` when the `bundle_adjust` package is importable;
+    otherwise pre-existing `ba_files/` are consumed, else original RPCs are
+    used with a note. BA keypoints are replicated into the JSONs
+    (d["keypoints"]) like the reference (:163-172).
+  * Sun angles come from, in priority order: an explicit
+    `<aoi>_sunangles.txt` (img el az per line), the image's own NITF_USE00A_*
+    items in its GDAL-metadata GeoTIFF tag, or a USE00A TRE parsed from an
+    MSI sidecar NITF in --msi_dir (the reference reads the same NITF tags
+    from a private MSI server, :111-146).
 """
 
 import argparse
@@ -135,9 +141,136 @@ def load_sun_angles(dataset_dir, aoi_id):
     return out
 
 
+_T_GDAL_METADATA = 42112  # GDAL metadata XML (<GDALMetadata><Item name=...>)
+
+
+def _gdal_metadata_items(path):
+    """NITF_* metadata items embedded in a GeoTIFF's GDAL-metadata XML tag.
+
+    When GDAL translates an NTF to GeoTIFF it copies the NITF file header
+    fields into tag 42112 — the same store `rasterio.open(p).tags()` reads in
+    the reference (create_DFC2019_dataset_auto.py:137-147)."""
+    import re
+
+    try:
+        tags, _, _ = _read_ifd_raw(path)
+    except Exception:
+        return {}
+    raw = tags.get(_T_GDAL_METADATA)
+    if raw is None:
+        return {}
+    text = raw.decode("utf-8", "replace") if isinstance(raw, bytes) else str(raw)
+    return dict(re.findall(r'<Item name="([^"]+)"[^>]*>([^<]*)</Item>', text))
+
+
+def _sun_angles_from_use00a(ntf_path):
+    """SUN_EL / SUN_AZ from a NITF file's USE00A TRE.
+
+    Minimal parser: locate the 6-byte TRE tag, read the 5-digit CEL, and take
+    the TRE's last two 5-character fields, which the USE00A layout (STDI-0002,
+    107-byte TRE) defines as SUN_EL and SUN_AZ. Replaces the reference's
+    rasterio/GDAL read of NITF_USE00A_SUN_EL from a private MSI server
+    (create_DFC2019_dataset_auto.py:116-147)."""
+    with open(ntf_path, "rb") as f:
+        data = f.read()
+    pos = data.find(b"USE00A")
+    if pos < 0:
+        return None
+    try:
+        cel = int(data[pos + 6: pos + 11])
+        tre = data[pos + 11: pos + 11 + cel]
+        el = float(tre[-10:-5])
+        az = float(tre[-5:])
+        return el, az
+    except (ValueError, IndexError):
+        return None
+
+
+def sun_angles_from_image_metadata(rgb_path, msi_dir=None):
+    """(sun_elevation, sun_azimuth, acquisition_date) for an image, following
+    the reference's source order (create_DFC2019_dataset_auto.py:130-147):
+    NITF_USE00A_* metadata (here: the GeoTIFF's own GDAL-metadata tag), then
+    the MSI sidecar NITF named by NITF_IID2 (here: `msi_dir` instead of the
+    hardcoded private server), else zeros."""
+    items = _gdal_metadata_items(rgb_path)
+    date = items.get("NITF_STDIDC_ACQUISITION_DATE", "")
+    if "NITF_USE00A_SUN_EL" in items and "NITF_USE00A_SUN_AZ" in items:
+        return (float(items["NITF_USE00A_SUN_EL"]),
+                float(items["NITF_USE00A_SUN_AZ"]), date)
+    if msi_dir:
+        iid2 = items.get("NITF_IID2", "").replace(" ", "_")
+        stem = os.path.splitext(os.path.basename(rgb_path))[0]
+        names = [s for s in (iid2, stem) if s]
+        for cand in (f"{n}{ext}" for n in names for ext in (".NTF", ".ntf")):
+            p = os.path.join(msi_dir, cand)
+            if os.path.exists(p):
+                angles = _sun_angles_from_use00a(p)
+                if angles is not None:
+                    return angles[0], angles[1], date
+    return 0.0, 0.0, date
+
+
+def run_ba(img_dir, output_dir):
+    """Run the sat-bundleadjust pipeline for RPC refinement, mirroring the
+    reference `run_ba` (create_DFC2019_dataset_auto.py:42-97): same input
+    construction, tracks config, log capture, and ba_params/ output contract.
+    Requires the external `bundle_adjust` + `rpcm` packages (the reference's
+    "ba" conda env); raises ImportError when they are absent."""
+    import sys
+
+    from bundle_adjust import loader
+    from bundle_adjust.ba_pipeline import BundleAdjustmentPipeline
+    from bundle_adjust.cam_utils import SatelliteImage
+    import rpcm
+
+    images = sorted(glob.glob(os.path.join(img_dir, "*.tif")))
+    rpcs = [rpcm.rpc_from_geotiff(p) for p in images]
+    ba_input = {
+        "in_dir": img_dir,
+        "out_dir": os.path.join(output_dir, "ba_files"),
+        "images": [SatelliteImage(fn, rpc) for fn, rpc in zip(images, rpcs)],
+    }
+    os.makedirs(ba_input["out_dir"], exist_ok=True)
+    log_path = os.path.join(ba_input["out_dir"], "bundle_adjust.log")
+    print(f"Running bundle adjustment for RPC refinement (log: {log_path})")
+    tracks_config = {"FT_reset": False, "FT_save": True,
+                     "FT_sift_detection": "s2p",
+                     "FT_sift_matching": "epipolar_based"}
+    out, err = sys.stdout, sys.stderr
+    with open(log_path, "w+") as log_file:
+        sys.stdout = sys.stderr = log_file
+        try:
+            pipeline = BundleAdjustmentPipeline(
+                ba_input, tracks_config=tracks_config,
+                extra_ba_config={"cam_model": "rpc"})
+            pipeline.run()
+        finally:
+            sys.stdout, sys.stderr = out, err
+
+    params_dir = os.path.join(pipeline.out_dir, "ba_params")
+    os.makedirs(params_dir, exist_ok=True)
+    bap = pipeline.ba_params
+    np.save(os.path.join(params_dir, "pts_ind.npy"), bap.pts_ind)
+    np.save(os.path.join(params_dir, "cam_ind.npy"), bap.cam_ind)
+    np.save(os.path.join(params_dir, "pts3d.npy"),
+            bap.pts3d_ba - pipeline.global_transform)
+    np.save(os.path.join(params_dir, "pts2d.npy"), bap.pts2d)
+    used = [pipeline.images[i].geotiff_path for i in bap.cam_prev_indices]
+    loader.save_list_of_paths(os.path.join(params_dir, "geotiff_paths.txt"),
+                              used)
+    return ba_input["out_dir"]
+
+
 def create_dataset_from_dfc2019(aoi_id, img_dir, dataset_dir, output_dir,
-                                use_ba=False, sun_angles_list=None):
-    """Per-image JSON metadata (reference create_dataset_from_DFC2019_data)."""
+                                use_ba=False, sun_angles_list=None,
+                                msi_dir=None):
+    """Per-image JSON metadata (reference create_dataset_from_DFC2019_data).
+
+    Sun-angle priority: explicit `<aoi>_sunangles.txt` entry, else
+    NITF_USE00A_* image metadata (GDAL-metadata tag or MSI sidecar NITF in
+    `msi_dir`), else 0.0 — the reference's behavior with its MSI server
+    unreachable (create_DFC2019_dataset_auto.py:141-146).
+    """
     os.makedirs(output_dir, exist_ok=True)
     json_dir = os.path.join(output_dir, "JSON")
     os.makedirs(json_dir, exist_ok=True)
@@ -149,6 +282,25 @@ def create_dataset_from_dfc2019(aoi_id, img_dir, dataset_dir, output_dir,
     max_alt = int(np.round(np.nanmax(dsm) + 1))
     z_ref = float(np.nanmean(dsm))
     sun_angles = load_sun_angles(dataset_dir, aoi_id)
+
+    ba_kps = None
+    if use_ba:
+        # keypoint observations from the BA run, replicated into the JSONs
+        # like the reference (create_DFC2019_dataset_auto.py:163-172)
+        params_dir = os.path.join(output_dir, "ba_files", "ba_params")
+        paths_txt = os.path.join(params_dir, "geotiff_paths.txt")
+        if os.path.exists(paths_txt):
+            with open(paths_txt) as f:
+                names = [os.path.basename(l.strip()) for l in f if l.strip()]
+            ba_kps = {
+                "names": names,
+                "pts_ind": np.load(os.path.join(params_dir, "pts_ind.npy")),
+                "cam_ind": np.load(os.path.join(params_dir, "cam_ind.npy")),
+                "pts2d": np.load(os.path.join(params_dir, "pts2d.npy")),
+            }
+            pts3d = os.path.join(params_dir, "pts3d.npy")
+            if os.path.exists(pts3d):
+                shutil.copyfile(pts3d, os.path.join(json_dir, "pts3d.npy"))
 
     geotiff_paths = sorted(glob.glob(os.path.join(img_dir, "*.tif")))
     for rgb_p in geotiff_paths:
@@ -162,19 +314,27 @@ def create_dataset_from_dfc2019(aoi_id, img_dir, dataset_dir, output_dir,
             else:
                 print(f"no adjusted RPC for {rgb_p}; using original")
         img = os.path.basename(rgb_p)
-        el, az = sun_angles.get(img, (0.0, 0.0))
+        meta_el, meta_az, date = sun_angles_from_image_metadata(rgb_p, msi_dir)
+        el, az = sun_angles.get(img, (meta_el, meta_az))
         d = {
             "img": img,
             "height": int(arr.shape[0]),
             "width": int(arr.shape[1]),
             "sun_elevation": el,
             "sun_azimuth": az,
-            "acquisition_date": "",
+            "acquisition_date": date,
             "geojson": image_lonlat_aoi(rpc, arr.shape[0], arr.shape[1], z_ref),
             "min_alt": min_alt,
             "max_alt": max_alt,
             "rpc": rpc.to_dict(),
         }
+        if ba_kps is not None and img in ba_kps["names"]:
+            cam_idx = ba_kps["names"].index(img)
+            sel = ba_kps["cam_ind"] == cam_idx
+            d["keypoints"] = {
+                "2d_coordinates": ba_kps["pts2d"][sel].tolist(),
+                "pts3d_indices": ba_kps["pts_ind"][sel].tolist(),
+            }
         write_dict_to_json(d, os.path.join(json_dir, f"{get_file_id(rgb_p)}.json"))
         if sun_angles_list is not None:
             sun_angles_list.append((img, el, az))
@@ -217,7 +377,7 @@ def create_train_test_splits(sample_ids, test_percent=0.15, min_test_samples=2,
 
 
 def create_satellite_dataset(aoi_id, dataset_dir, output_dir, crop_aoi=True,
-                             ba=False, splits=True, seed=0):
+                             ba=False, splits=True, seed=0, msi_dir=None):
     """End-to-end preparation (reference create_satellite_dataset, :279-346)."""
     img_dir = os.path.join(dataset_dir, "RGB", aoi_id)
     out = os.path.join(output_dir, aoi_id)
@@ -243,15 +403,23 @@ def create_satellite_dataset(aoi_id, dataset_dir, output_dir, crop_aoi=True,
         img_dir = crop_dir
 
     if ba and not os.path.isdir(os.path.join(out, "ba_files")):
-        print("bundle adjustment requested but no ba_files/ present; the "
-              "sat-bundleadjust pipeline is an external dependency — run it "
-              "separately and re-invoke, or continue with original RPCs")
-        ba = False
+        # invoke the external sat-bundleadjust pipeline when installed
+        # (mirrors reference run_ba); otherwise fall back to original RPCs
+        try:
+            run_ba(img_dir, out)
+        except ImportError:
+            print("bundle adjustment requested but the sat-bundleadjust "
+                  "pipeline (`bundle_adjust` + `rpcm`) is not installed and "
+                  "no ba_files/ exist — continuing with original RPCs. "
+                  "Install the reference's 'ba' env, or run BA separately "
+                  "and re-invoke with ba_files/ in place.")
+            ba = False
 
     sun_angles = []
     json_dir = create_dataset_from_dfc2019(aoi_id, img_dir, dataset_dir, out,
                                            use_ba=ba,
-                                           sun_angles_list=sun_angles)
+                                           sun_angles_list=sun_angles,
+                                           msi_dir=msi_dir)
     if splits:
         files = sorted(os.path.basename(p)
                        for p in glob.glob(os.path.join(json_dir, "*.json")))
@@ -274,12 +442,17 @@ def main(argv=None):
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--no_crop", action="store_true")
     p.add_argument("--ba", action="store_true",
-                   help="consume sat-bundleadjust outputs if present")
+                   help="run sat-bundleadjust if installed, else consume "
+                        "pre-existing ba_files/")
+    p.add_argument("--msi_dir", type=str, default=None,
+                   help="directory of MSI sidecar NITFs for sun-angle "
+                        "extraction (replaces the reference's MSI server)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     out, img_dir, json_dir = create_satellite_dataset(
         args.aoi_id, args.dataset_dir, args.output_dir,
         crop_aoi=not args.no_crop, ba=args.ba, seed=args.seed,
+        msi_dir=args.msi_dir,
     )
     print(f"dataset written to {out}\n  images: {img_dir}\n  json: {json_dir}")
 

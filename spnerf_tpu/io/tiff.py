@@ -186,7 +186,7 @@ def _pack_entries(entries):
 
 
 def write_geotiff(path, array, transform=None, epsg=None, nodata=None,
-                  profile=None, extra_double_tags=None):
+                  profile=None, extra_double_tags=None, extra_ascii_tags=None):
     """Write `array` (H, W) or (H, W, C) as an uncompressed little-endian GeoTIFF.
 
     transform: (xoff, xres, yoff, yres) with yres negative for north-up rasters,
@@ -278,6 +278,10 @@ def write_geotiff(path, array, transform=None, epsg=None, nodata=None,
         # e.g. the RPC00B coefficient block (tag 50844) for satellite imagery
         for tag, values in extra_double_tags.items():
             add_double(int(tag), np.asarray(values, np.float64))
+    if extra_ascii_tags:
+        # e.g. the GDAL metadata XML block (tag 42112) carrying NITF_* items
+        for tag, text in extra_ascii_tags.items():
+            add_ascii(int(tag), str(text))
 
     # strip offsets / byte counts appended last (offset filled after layout)
     add_long(_T_STRIP_BYTES, len(data))

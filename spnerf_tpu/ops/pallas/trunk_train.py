@@ -196,6 +196,12 @@ def _trunk_bwd_impl(x_in, dy, ws, bs, cfg, compute_dtype_name, interpret):
         out_shape=dW_shapes + db_shapes
         + [jax.ShapeDtypeStruct((n_pad, x.shape[-1]), jnp.float32)],
         interpret=interpret,
+        # dW accumulators (~8 MB f32) + weights + per-tile activations exceed
+        # the default 16 MB scoped-vmem budget at TILE_BWD >= 512; the chip
+        # has headroom, so raise the per-kernel limit instead of shrinking
+        # the tile (TILE 512 measured 29.3 ms vs 32.6 ms at TILE 128)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, g, *ws, *bs)
     n = len(ws)
     dws = list(outs[:n])
