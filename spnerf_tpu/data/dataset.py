@@ -297,9 +297,17 @@ def load_scene(
     load_depth=True,
     cache_dir=None,
     verbose=True,
+    frame_offset=None,
 ) -> SatelliteScene:
-    """Assemble the full training scene (+ validation records)."""
+    """Assemble the full training scene (+ validation records).
+
+    frame_offset: optional (3,) translation applied in normalized space —
+    multi-AOI runs give each AOI a disjoint cube (see SceneNorm)."""
     norm = _scene_norm(json_dir, img_downscale, verbose)
+    if frame_offset is not None:
+        from dataclasses import replace as _replace
+
+        norm = _replace(norm, frame_offset=np.asarray(frame_offset, np.float64))
     sem_path = os.path.join(sem_dir, f"{aoi_id}_CLS.tif")
     sem_cfg = SEMANTIC_CONFIG[num_sem_classes] if sem else None
 

@@ -8,12 +8,14 @@ freely in each batch (each ray carries everything the field needs — normalized
 origin/direction in its own scene frame, sun direction, semantic label,
 transient image id), while validation and DSM scoring stay per-AOI.
 
-Note on scene frames: each AOI keeps its own `scene.loc` normalization. With a
-shared field this means AOIs overlap in normalized space, so a multi-AOI run is
-primarily a *throughput/scale* configuration (one training program, batches
-spanning AOIs, one optimizer) — per-AOI reconstruction quality requires either
-disjoint normalized frames or a per-AOI embedding; the transient image id (t)
-is unique across AOIs here and serves that role when the beta path is enabled.
+Scene frames: each AOI keeps its own `scene.loc` normalization and is then
+TRANSLATED to a disjoint region of the shared field's domain
+(frame_offset = k * FRAME_SPACING along x for the k-th AOI) — one field can
+therefore represent all scenes simultaneously, with per-AOI reconstruction
+instead of overlapping geometry. DSM extraction and validation invert the
+offset through SceneNorm.denormalize_points, so per-AOI outputs and MAE are
+unchanged in meaning. The transient image id (t) stays unique across AOIs for
+the beta path.
 """
 
 from dataclasses import dataclass
@@ -48,20 +50,27 @@ class MultiScene:
                 yield aoi, scene, rec
 
 
+# distance between AOI cubes in normalized space: each scene spans ~[-1, 1],
+# so spacing 3 leaves a >= 1-unit empty gap between neighboring AOIs
+FRAME_SPACING = 3.0
+
+
 def load_scenes(aoi_ids, dataset_dir_fn, **scene_kwargs) -> MultiScene:
     """Load and merge several AOIs.
 
     dataset_dir_fn(aoi_id) -> dict with json_dir, img_dir, depth_dir, sem_dir
     keys for that AOI. Transient image ids are offset so every image across
-    all AOIs gets a unique id.
+    all AOIs gets a unique id; scene k lives in a frame translated by
+    (k * FRAME_SPACING, 0, 0) in normalized space.
     """
     scenes, id_offset = [], 0
     merged = {k: [] for k in ("rays", "rgbs", "ids", "depths", "valid_depth",
                               "depth_std", "sems", "valid_sem")}
-    for aoi in aoi_ids:
+    for k, aoi in enumerate(aoi_ids):
         dirs = dataset_dir_fn(aoi)
         scene = load_scene(dirs["json_dir"], dirs["img_dir"],
                            dirs["depth_dir"], dirs["sem_dir"], aoi,
+                           frame_offset=np.array([k * FRAME_SPACING, 0.0, 0.0]),
                            **scene_kwargs)
         # offset transient ids (train + val records); a scene occupies
         # len(train) + len(test) id slots (val record 0 reuses train image 0)

@@ -63,10 +63,18 @@ class SceneNorm:
     """Scene normalization: ECEF center offset + isotropic range.
 
     Matches `scene.loc` semantics: center = per-axis offsets, range = max of the
-    per-axis scales (reference datasets/satellite_scene.py:122-124)."""
+    per-axis scales (reference datasets/satellite_scene.py:122-124).
+
+    frame_offset: optional translation added AFTER normalization, used by
+    multi-AOI training to place each AOI in a disjoint region of the shared
+    field's domain (one field cannot represent two scenes occupying the same
+    normalized cube). Single-AOI runs keep the zero offset, which reproduces
+    the reference's normalization exactly.
+    """
 
     center: np.ndarray  # (3,) float64
     range: float
+    frame_offset: np.ndarray = None  # (3,) float64 or None for zero
 
     @classmethod
     def from_scene_loc(cls, d):
@@ -96,13 +104,19 @@ class SceneNorm:
         scaled. Returns a new float32 array."""
         out = np.array(rays, dtype=np.float64, copy=True)
         out[:, 0:3] = (out[:, 0:3] - self.center) / self.range
+        if self.frame_offset is not None:
+            out[:, 0:3] = out[:, 0:3] + self.frame_offset
         out[:, 6:8] = out[:, 6:8] / self.range
         return out.astype(np.float32)
 
     def normalize_points(self, pts):
-        return ((np.asarray(pts, np.float64) - self.center) / self.range).astype(
-            np.float32
-        )
+        out = (np.asarray(pts, np.float64) - self.center) / self.range
+        if self.frame_offset is not None:
+            out = out + self.frame_offset
+        return out.astype(np.float32)
 
     def denormalize_points(self, pts):
-        return np.asarray(pts, np.float64) * self.range + self.center
+        pts = np.asarray(pts, np.float64)
+        if self.frame_offset is not None:
+            pts = pts - self.frame_offset
+        return pts * self.range + self.center
