@@ -7,15 +7,23 @@ from .spnerf import (
 )
 
 
-def load_model(cfg, compute_dtype=None):
+def load_model(cfg, compute_dtype=None, hash_impl=None):
     """Model factory (reference models/__init__.py:4-16): returns the field
     module for the configuration. encoding='siren' is the SP-NeRF flagship;
-    encoding='hash' is the Instant-NGP-style hash-grid variant."""
+    encoding='hash' is the Instant-NGP-style hash-grid variant.
+
+    hash_impl: encoding implementation for the hash trunk — None picks the
+    restructured-VJP lookup (one flat scatter-add backward) on accelerator
+    backends and plain autodiff on CPU (see HashGridEncoding.impl)."""
+    import jax
     import jax.numpy as jnp
 
     dtype = compute_dtype or jnp.float32
     if getattr(cfg, "encoding", "siren") == "hash":
-        return HashSPNeRF(cfg=cfg, compute_dtype=dtype)
+        if hash_impl is None:
+            hash_impl = ("fused_vjp" if jax.default_backend() != "cpu"
+                         else "xla")
+        return HashSPNeRF(cfg=cfg, compute_dtype=dtype, enc_impl=hash_impl)
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 
 

@@ -23,12 +23,15 @@ from flax import linen as nn
 from ..config import ModelConfig
 from .spnerf import TorchDense, torch_linear_init
 
-_PRIMES = jnp.array([1, 2654435761, 805459861], dtype=jnp.uint32)
+# numpy at module scope: creating jnp arrays at import time initializes the
+# JAX backends, which permanently defeats a later jax_platforms=cpu pin
+# (the sitecustomize pre-imports jax; see utils/platform.py)
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
 
 # the 8 corner offsets of a unit cell
-_CORNERS = jnp.array(
+_CORNERS = np.array(
     [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-    dtype=jnp.uint32,
+    dtype=np.uint32,
 )  # (8, 3)
 
 
@@ -40,13 +43,19 @@ def _hash_coords(coords, table_size):
 
 
 class HashGridEncoding(nn.Module):
-    """xyz in [-1, 1]^3 -> (N, n_levels * n_features)."""
+    """xyz in [-1, 1]^3 -> (N, n_levels * n_features).
+
+    impl: "xla" (plain autodiff: XLA's take-VJP emits one scatter-add per
+    level) or "fused_vjp" (ops/pallas/hash_enc.py: identical forward, custom
+    VJP with ONE flat scatter-add across all levels — the hash config is
+    scatter-bound on TPU, see that module's docstring)."""
 
     n_levels: int = 16
     n_features: int = 2
     log2_table_size: int = 19
     base_resolution: int = 16
     max_resolution: int = 2048
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, xyz):
@@ -64,6 +73,12 @@ class HashGridEncoding(nn.Module):
         )
 
         x01 = jnp.clip((jnp.asarray(xyz, jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+
+        if self.impl == "fused_vjp":
+            from ..ops.pallas.hash_enc import hash_encode
+
+            return hash_encode(x01, table,
+                               tuple(int(r) for r in resolutions))
 
         feats = []
         for l in range(L):
@@ -95,6 +110,7 @@ class HashSPNeRF(nn.Module):
     n_features: int = 2
     log2_table_size: int = 19
     hidden: int = 64
+    enc_impl: str = "xla"  # forwarded to HashGridEncoding.impl
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
@@ -108,7 +124,7 @@ class HashSPNeRF(nn.Module):
 
         enc = HashGridEncoding(
             n_levels=self.n_levels, n_features=self.n_features,
-            log2_table_size=self.log2_table_size,
+            log2_table_size=self.log2_table_size, impl=self.enc_impl,
         )(xyz)
 
         x_in = enc

@@ -109,8 +109,15 @@ class Trainer:
         from ..models import load_model
 
         dtype = jnp.bfloat16 if rc.compute_dtype == "bfloat16" else jnp.float32
-        self.model = load_model(mc, dtype)
-        self.fine_model = load_model(mc, dtype) if rc.n_importance > 0 else None
+        # hash trunk: restructured-VJP lookup on accelerators (load_model
+        # default); --use_pallas opts the CPU path into the same graph
+        hash_impl = None
+        if (mc.encoding == "hash" and rc.use_pallas
+                and jax.default_backend() == "cpu"):
+            hash_impl = "fused_vjp"
+        self.model = load_model(mc, dtype, hash_impl=hash_impl)
+        self.fine_model = (load_model(mc, dtype, hash_impl=hash_impl)
+                           if rc.n_importance > 0 else None)
         self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
         self.proposal_model = None
         if rc.proposal:

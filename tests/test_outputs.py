@@ -67,7 +67,15 @@ def test_offline_eval_cli_on_synthetic_run(tmp_path, rng, dfc269_root):
     args = types.SimpleNamespace(
         logs_dir=str(logs), dataset_dir=str(dataset),
         output_dir=str(tmp_path / "output" / "exp" / "eval"), epoch_number=3,
+        skip_lpips=True,
     )
+    # without --skip_lpips and without weights, the CLI must fail loudly
+    # rather than NaN-averaging a headline metric (VERDICT r1 item 4)
+    import pytest
+
+    strict = types.SimpleNamespace(**{**vars(args), "skip_lpips": False})
+    with pytest.raises(SystemExit, match="LPIPS weights not found"):
+        eval_aoi(strict)
     means = eval_aoi(args)
     assert means["mae"] < 0.05  # constant bias removed by registration
     assert 20 < means["psnr"] < 40
