@@ -196,7 +196,10 @@ def _load_depth(depth_dir, metas, norm, img_downscale, stdscale, margin,
         pts2d = np.loadtxt(p2d_p, dtype=np.int64).reshape(-1, 2)
         pts3d = np.loadtxt(p3d_p, dtype=np.float64).reshape(-1, 3)
         corr = np.loadtxt(corr_p, dtype=np.float64).ravel()
-        corr = (corr - corr.min()) / (corr.max() - corr.min())
+        spread = corr.max() - corr.min()
+        # constant correlation (e.g. synthesized depth): treat as uniformly
+        # reliable rather than dividing by zero
+        corr = (corr - corr.min()) / spread if spread > 0 else np.ones_like(corr)
 
         rpc = RPCModel.from_dict(meta["rpc"]).rescaled(1.0 / img_downscale)
         cols, rows = (pts2d / img_downscale).T

@@ -224,3 +224,43 @@ def test_val_image_loading(synth_depth_dataset):
     assert sample["rgbs"].shape == (rec.h * rec.w, 3)
     assert sample["sems"].shape == (rec.h * rec.w,)
     assert sample["rgbs"].min() >= 0 and sample["rgbs"].max() <= 1
+
+
+def test_lidar_depth_synthesis(tmp_path, dfc269_root):
+    """synth_depth: DSM-intersected dense depth honors the MicMac contract —
+    every point reprojects onto its pixel (<1 px), altitudes live in the DSM
+    range, and the scene loader consumes the files."""
+    from spnerf_tpu.data.synth_depth import synthesize_depth_from_lidar
+    from spnerf_tpu.geo import RPCModel
+    from spnerf_tpu.geo.ellipsoid import ecef_to_latlon
+
+    out = str(tmp_path / "Depth")
+    ids = synthesize_depth_from_lidar(
+        os.path.join(dfc269_root, "JSON"), os.path.join(dfc269_root, "Truth"),
+        "JAX_269", out, stride=16, verbose=False)
+    assert len(ids) >= 2
+
+    from spnerf_tpu.io.tiff import read_geotiff
+
+    dsm, _ = read_geotiff(os.path.join(dfc269_root, "Truth",
+                                       "JAX_269_DSM.tif"))
+    lo, hi = np.nanmin(dsm), np.nanmax(dsm)
+    for img_id in ids:
+        meta = read_dict_from_json(
+            os.path.join(dfc269_root, "JSON", f"{img_id}.json"))
+        rpc = RPCModel.from_dict(meta["rpc"])
+        p2 = np.loadtxt(os.path.join(out, f"{img_id}_2DPts.txt"))
+        p3 = np.loadtxt(os.path.join(out, f"{img_id}_3DPts_ecef.txt"))
+        corr = np.loadtxt(os.path.join(out, f"{img_id}_Correl.txt"))
+        assert len(p2) == len(p3) == len(corr) > 500
+        lat, lon, alt = ecef_to_latlon(p3[:, 0], p3[:, 1], p3[:, 2])
+        c, r = rpc.projection(lon, lat, alt)
+        assert np.hypot(c - p2[:, 0], r - p2[:, 1]).max() < 1.0
+        assert alt.min() >= lo - 1e-6 and alt.max() <= hi + 1e-6
+        assert np.all((corr > 0) & (corr <= 100))
+
+    scene = load_scene(
+        os.path.join(dfc269_root, "JSON"),
+        os.path.join(dfc269_root, "RGB/JAX_269"), out,
+        os.path.join(dfc269_root, "Semantic"), "JAX_269", verbose=False)
+    assert (scene.valid_depth > 0).sum() > 1000
