@@ -12,18 +12,17 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
     module for the configuration. encoding='siren' is the SP-NeRF flagship;
     encoding='hash' is the Instant-NGP-style hash-grid variant.
 
-    hash_impl: encoding implementation for the hash trunk — None picks the
-    restructured-VJP lookup (one flat scatter-add backward) on accelerator
-    backends and plain autodiff on CPU (see HashGridEncoding.impl)."""
-    import jax
+    hash_impl: encoding implementation for the hash trunk — default "xla"
+    (plain autodiff). The restructured-VJP variant ("fused_vjp",
+    ops/pallas/hash_enc.py) measured SLOWER on the v5e (559 vs 385 ms/step,
+    light hash config): XLA's own per-level take-VJP scatters beat one flat
+    scatter over the (L*T, F) table. Kept selectable for future toolchains."""
     import jax.numpy as jnp
 
     dtype = compute_dtype or jnp.float32
     if getattr(cfg, "encoding", "siren") == "hash":
-        if hash_impl is None:
-            hash_impl = ("fused_vjp" if jax.default_backend() != "cpu"
-                         else "xla")
-        return HashSPNeRF(cfg=cfg, compute_dtype=dtype, enc_impl=hash_impl)
+        return HashSPNeRF(cfg=cfg, compute_dtype=dtype,
+                          enc_impl=hash_impl or "xla")
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 
 
