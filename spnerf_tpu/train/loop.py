@@ -125,15 +125,17 @@ class Trainer:
 
             self.proposal_model = ProposalField()
 
-        # fused Pallas trunk (fwd+bwd custom VJP) for the training path
-        # (beta stays on the XLA path: the fused train field has no beta head)
+        # fused Pallas FIELD (fwd+bwd custom VJP, ops/pallas/field_train) for
+        # the training path: trunk + every head in VMEM, dW accumulated
+        # on-chip. Supersedes the trunk-only kernel (trunk_train), which lost
+        # integrated to XLA (67.4 vs 51.4 ms) on boundary traffic.
         self._fused_train_apply = None
         if rc.use_pallas:
             from ..ops.pallas import supports_config
-            from ..ops.pallas.trunk_train import make_fused_train_field
+            from ..ops.pallas.field_train import make_train_field
 
-            if supports_config(mc) and not mc.beta:
-                self._fused_train_apply = make_fused_train_field(
+            if supports_config(mc):
+                self._fused_train_apply = make_train_field(
                     mc, compute_dtype_name=rc.compute_dtype,
                     interpret=jax.default_backend() == "cpu")
 
