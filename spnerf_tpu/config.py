@@ -37,6 +37,13 @@ class ModelConfig:
     beta: bool = False
     sem: bool = False
     encoding: str = "siren"  # "siren" (SP-NeRF flagship) | "hash" (NGP-style)
+    # hash-encoding geometry (encoding="hash" only). The TPU is
+    # latency-bound on the per-(point, corner, level) gather/scatter rows,
+    # so fewer, wider levels trade quality for a proportional speedup
+    # (rows scale with hash_levels; total feature width is levels*features).
+    hash_levels: int = 16
+    hash_features: int = 2
+    hash_log2T: int = 19
 
 
 @dataclass(frozen=True)
@@ -171,6 +178,13 @@ def build_train_parser():
                    choices=["siren", "hash"],
                    help="field trunk: siren (SP-NeRF flagship) or hash "
                         "(Instant-NGP-style multiresolution hash grid)")
+    p.add_argument("--hash_levels", type=int, default=16,
+                   help="hash encoding: number of resolution levels (fewer, "
+                        "wider levels are faster on TPU; see models/hashgrid)")
+    p.add_argument("--hash_features", type=int, default=2,
+                   help="hash encoding: features per level")
+    p.add_argument("--hash_log2T", type=int, default=19,
+                   help="hash encoding: log2 of the per-level table size")
     p.add_argument("--proposal", action="store_true",
                    help="density-only proposal network places the main "
                         "field's samples (interlevel loss)")
@@ -232,6 +246,9 @@ def model_config_from_args(args) -> ModelConfig:
         beta=args.beta,
         sem=args.sem,
         encoding=getattr(args, "encoding", "siren"),
+        hash_levels=getattr(args, "hash_levels", 16),
+        hash_features=getattr(args, "hash_features", 2),
+        hash_log2T=getattr(args, "hash_log2T", 19),
     )
 
 

@@ -22,6 +22,9 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
     dtype = compute_dtype or jnp.float32
     if getattr(cfg, "encoding", "siren") == "hash":
         return HashSPNeRF(cfg=cfg, compute_dtype=dtype,
+                          n_levels=getattr(cfg, "hash_levels", 16),
+                          n_features=getattr(cfg, "hash_features", 2),
+                          log2_table_size=getattr(cfg, "hash_log2T", 19),
                           enc_impl=hash_impl or "xla")
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 

