@@ -91,9 +91,14 @@ def _save_image(arr_chw, out_path):
 
 
 def _composited(results, typ, key):
-    """sum(weights * per-sample values) along samples."""
-    w = results[f"weights_{typ}"][..., None]
-    return np.sum(w * results[f"{key}_{typ}"], axis=-2)
+    """Per-ray value for `key`: the lean render path (Trainer.build_render_fn)
+    composites sun/albedo/sky/beta on device; per-sample (R, S, C) arrays from
+    the full path are weight-composited here (reference eval.py:60-101)."""
+    v = np.asarray(results[f"{key}_{typ}"])
+    if v.ndim == 3:
+        w = np.asarray(results[f"weights_{typ}"])[..., None]
+        v = np.sum(w * v, axis=-2)
+    return v
 
 
 def save_nerf_output_to_images(scene, sample, results, out_dir, epoch_number,

@@ -22,6 +22,7 @@ documented — not a port):
 """
 
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -393,7 +394,33 @@ class Trainer:
         return jax.device_put(state, sharding)
 
     # ------------------------------------------------------------- rendering (eval)
-    def build_render_fn(self, chunk=40960, max_points=1_500_000):
+    # per-sample render outputs are composited on device and dropped from the
+    # eval fetch: the tunneled host link is bandwidth-starved, and the (R, S)
+    # arrays (weights, z_vals, transparency, solar-pass stacks) are ~98% of
+    # the bytes while validation/image-saving only consumes per-ray values
+    # (the reference composites sun/albedo on host from saved weights,
+    # eval.py:60-101 — same math, moved on-device)
+    _EVAL_DROP = ("weights", "transparency", "z_vals", "z_vals_unsort",
+                  "weights_sc", "transparency_sc", "sun_sc", "z_prop",
+                  "w_prop")
+
+    @staticmethod
+    def _lean_eval_outputs(out):
+        out = dict(out)
+        for typ in ("coarse", "fine"):
+            wk = f"weights_{typ}"
+            if wk not in out:
+                continue
+            w = out[wk][..., None]
+            for key in ("sun", "albedo", "sky", "beta"):
+                k = f"{key}_{typ}"
+                if k in out and out[k].ndim == 3:
+                    out[k] = jnp.sum(w * out[k], axis=-2)
+        drop = {f"{name}_{typ}" for name in Trainer._EVAL_DROP
+                for typ in ("coarse", "fine")}
+        return {k: v for k, v in out.items() if k not in drop}
+
+    def build_render_fn(self, chunk=40960, max_points=1_500_000, lean=True):
         """Whole-image renderer: jit once at a fixed chunk size, loop on host over
         padded chunks (eval-time only; the hot training path has no chunking).
 
@@ -424,6 +451,8 @@ class Trainer:
             if self.rc.use_pallas or on_accelerator:
                 use_pallas = supports_config(self.mc)
 
+        post = self._lean_eval_outputs if lean else (lambda out: out)
+
         if use_pallas:
             from ..ops.pallas import fused_field_apply
             from ..ops import render_rays as _render_rays
@@ -440,16 +469,17 @@ class Trainer:
                 t_emb = None
                 if self.t_embed is not None:
                     t_emb = self.t_embed.apply({"params": params["t"]}, ts)
-                return _render_rays(
+                return post(_render_rays(
                     fused, self.rc, rays,
                     t_emb=t_emb,
                     sems=sems if self.mc.sem else None,
                     key=None, train=False,
-                )
+                ))
         else:
             @jax.jit
             def render_chunk(params, rays, ts, sems):
-                return self._render(params, rays, ts, sems, key=None, train=False)
+                return post(self._render(params, rays, ts, sems, key=None,
+                                         train=False))
 
         if self.mesh is not None:
             # shard eval rendering over rays: each device renders chunk/n_dev
@@ -473,41 +503,55 @@ class Trainer:
                     check_vma=False,
                 )(params, rays, ts, sems)
 
+        # G chunks render per device dispatch (lax.map: sequential on device,
+        # one host round-trip per group). The tunneled chip pays ~seconds of
+        # dispatch+fetch latency per execution, so whole-image rendering was
+        # RTT-bound at 1 chunk/dispatch; grouping cuts round-trips G-fold.
+        # Concurrent dispatches are NOT an alternative: they wedge the
+        # tunneled runtime (verify SKILL.md), hence grouping + a depth-2
+        # pipeline across groups.
+        group = max(int(os.environ.get("SPNERF_EVAL_GROUP", "8")), 1)
+
+        @jax.jit
+        def render_group(params, rays_g, ts_g, sems_g):
+            return jax.lax.map(
+                lambda a: render_chunk(params, *a), (rays_g, ts_g, sems_g))
+
         def render_image(params, rays, t, sems=None):
             n = rays.shape[0]
+            n_chunks = -(-n // chunk)
+            n_groups = -(-n_chunks // group)
+            total = n_groups * group * chunk
+            pad = total - n
+            r = np.concatenate(
+                [rays, np.repeat(rays[-1:], pad, axis=0)], axis=0
+            ) if pad else rays
+            sm = (np.concatenate([sems, np.repeat(sems[-1:], pad, axis=0)])
+                  if sems is not None else np.zeros((total,), np.int32))
+            ts = np.full((total,), t, np.int32)
+            r = r.reshape(n_groups, group, chunk, r.shape[-1])
+            sm = np.asarray(sm).reshape(n_groups, group, chunk)
+            ts = ts.reshape(n_groups, group, chunk)
+
             outs = []
-            pending = []  # depth-2 dispatch pipeline hides host<->device latency
+            pending = []  # depth-2 dispatch pipeline across groups
 
-            def materialize(item):
-                out, pad = item
+            def materialize(out):
                 out = jax.tree_util.tree_map(np.asarray, out)
-                if pad:
-                    out = {k: v[: chunk - pad] for k, v in out.items()}
-                outs.append(out)
+                outs.append({k: v.reshape((group * chunk,) + v.shape[2:])
+                             for k, v in out.items()})
 
-            for i in range(0, n, chunk):
-                sl = slice(i, min(i + chunk, n))
-                r = rays[sl]
-                pad = 0
-                if r.shape[0] < chunk:
-                    pad = chunk - r.shape[0]
-                    r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
-                ts = np.full((chunk,), t, np.int32)
-                if sems is not None:
-                    sm = sems[sl]
-                    if pad:
-                        sm = np.concatenate([sm, np.repeat(sm[-1:], pad, axis=0)])
-                    sm = jnp.asarray(sm)
-                else:
-                    sm = jnp.zeros((chunk,), jnp.int32)
-                out = render_chunk(params, jnp.asarray(r), jnp.asarray(ts), sm)
-                pending.append((out, pad))
+            for g in range(n_groups):
+                out = render_group(params, jnp.asarray(r[g]),
+                                   jnp.asarray(ts[g]), jnp.asarray(sm[g]))
+                pending.append(out)
                 if len(pending) >= 2:
                     materialize(pending.pop(0))
             for item in pending:
                 materialize(item)
-            return {k: np.concatenate([o[k] for o in outs], axis=0)
+            full = {k: np.concatenate([o[k] for o in outs], axis=0)[:n]
                     for k in outs[0]}
+            return full
 
         self._render_fn = render_image
         return render_image

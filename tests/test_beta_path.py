@@ -62,5 +62,6 @@ def test_beta_render_outputs(rng):
     data = _data(rng, 256)
     out = render(jax.device_get(state.params), np.asarray(data["rays"]), t=2)
     assert "beta_coarse" in out
-    assert out["beta_coarse"].shape == (256, 6, 1)
+    # lean eval contract: beta is weight-composited on device (R, 1)
+    assert out["beta_coarse"].shape == (256, 1)
     assert np.all(out["beta_coarse"] >= 0)
