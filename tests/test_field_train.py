@@ -140,3 +140,42 @@ def test_field_train_bf16_close():
     for k in out32:
         np.testing.assert_allclose(out16[k], out32[k], rtol=0.1, atol=0.05,
                                    err_msg=k)
+
+
+def test_field_train_step_under_mesh():
+    """One shard_map training step with the fused field on an 8-virtual-device
+    mesh (the deployment shape: dp over rays, replicated params, pmean'd
+    grads through the custom VJP)."""
+    import numpy as np
+
+    from spnerf_tpu.config import LossConfig, RenderConfig
+    from spnerf_tpu.parallel import data_mesh
+    from spnerf_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(7)
+    mc = _cfg(beta=False)
+    rc = RenderConfig(n_samples=4, compute_dtype="float32", use_pallas=True,
+                      sem=True, solar_correction=True, guidedsample=True)
+    mesh = data_mesh(8)
+    tr = Trainer(mc, rc, LossConfig(sc_lambda=0.05, sem=True, ss_lambda=0.1),
+                 lr=1e-3, steps_per_epoch=10, max_steps=100, mesh=mesh)
+    assert tr._fused_train_apply is not None
+    state = tr.replicate_state(tr.init_state(jax.random.PRNGKey(0)))
+    n = 256
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    d = np.tile(np.array([[0.1, 0.2, -0.97]], np.float32), (n, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.zeros((n, 1), np.float32),
+                           np.full((n, 1), 1.2, np.float32), d], -1)
+    data = tr.shard_data({
+        "rays": rays,
+        "rgbs": np.tile([[0.3, 0.6, 0.2]], (n, 1)).astype(np.float32),
+        "ids": np.zeros(n, np.int32),
+        "depths": np.zeros((n, 2), np.float32),
+        "valid_depth": np.zeros(n, np.float32),
+        "depth_std": np.zeros(n, np.float32),
+        "sems": rng.integers(0, 3, size=(n,)).astype(np.int32),
+    })
+    step = tr.build_train_step(64)
+    state, ld = step(state, data, jax.random.PRNGKey(1))
+    assert np.isfinite(float(ld["loss"]))
