@@ -130,6 +130,9 @@ def _make_bwd_kernel(cfg, names, compute_dtype, heads):
                 preferred_element_type=jnp.float32)
 
         # ---------------- forward recompute, stashing per-tile intermediates
+        # matmul OPERANDS are stashed in compute dtype (VMEM halves vs f32;
+        # they are cast to cd at the MXU anyway); activation-DERIVATIVE
+        # factors and all gradient accumulators stay f32
         x_in = xin_ref[:].astype(jnp.float32)
         sun = sun_ref[:].astype(jnp.float32)
 
@@ -138,58 +141,60 @@ def _make_bwd_kernel(cfg, names, compute_dtype, heads):
         for i in range(n_trunk):
             if skip is not None and i == skip:
                 h = jnp.concatenate([h, x_in], axis=-1)
-            hs.append(h)
+            hs.append(h.astype(cd))
             p = pre(f"trunk{i}", h)
             w0 = 30.0 if i == 0 else 1.0
             gs.append(w0 * _fast_cos(w0 * p))
             h = fast_sin(w0 * p)
         shared = h
+        shared_cd = shared.astype(cd)
 
         sig_sigma = jax.nn.sigmoid(pre("sigma", shared))  # softplus'
 
         feats = pre("feats", shared) if want_feats else None
+        feats_cd = feats.astype(cd) if want_feats else None
 
         if want_rgb:
             p_r0 = pre("rgb0", feats)
             g_r0 = _fast_cos(p_r0)
-            r0 = fast_sin(p_r0)
+            r0 = fast_sin(p_r0).astype(cd)
             s_r1 = jax.nn.sigmoid(pre("rgb1", r0))
         if want_sun:
-            s0_in = jnp.concatenate([feats, sun], axis=-1)
+            s0_in = jnp.concatenate([feats_cd, sun.astype(cd)], axis=-1)
             p_s0 = pre("sun0", s0_in)
             g_s0 = _fast_cos(p_s0)
-            a_s0 = fast_sin(p_s0)
+            a_s0 = fast_sin(p_s0).astype(cd)
             p_s1 = pre("sun1", a_s0)
             g_s1 = _fast_cos(p_s1)
-            a_s1 = fast_sin(p_s1)
+            a_s1 = fast_sin(p_s1).astype(cd)
             p_s2 = pre("sun2", a_s1)
             g_s2 = _fast_cos(p_s2)
-            a_s2 = fast_sin(p_s2)
+            a_s2 = fast_sin(p_s2).astype(cd)
             s_s3 = jax.nn.sigmoid(pre("sun3", a_s2))
         if want_sky:
             p_k0 = pre("sky0", sun)
-            a_k0 = jax.nn.relu(p_k0)
+            a_k0 = jax.nn.relu(p_k0).astype(cd)
             s_k1 = jax.nn.sigmoid(pre("sky1", a_k0))
         if want_beta:
             t_in = t_ref[:].astype(jnp.float32)
-            b_in = jnp.concatenate([feats, t_in], axis=-1)
+            b_in = jnp.concatenate([feats_cd, t_in.astype(cd)], axis=-1)
             p_b0 = pre("beta0", b_in)
             g_b0 = _fast_cos(p_b0)
-            a_b0 = fast_sin(p_b0)
+            a_b0 = fast_sin(p_b0).astype(cd)
             sig_b1 = jax.nn.sigmoid(pre("beta1", a_b0))
         if want_sem:
             p_m0 = pre("sem0", shared)
             g_m0 = _fast_cos(p_m0)
-            a_m0 = fast_sin(p_m0)
+            a_m0 = fast_sin(p_m0).astype(cd)
 
         # ---------------------------------------------------- head backward
-        dshared = jnp.zeros_like(shared)
-        dfeats = jnp.zeros_like(feats) if want_feats else None
+        dshared = jnp.zeros(shared.shape, jnp.float32)
+        dfeats = jnp.zeros(feats.shape, jnp.float32) if want_feats else None
         dsun = jnp.zeros_like(sun)
 
         # sigma = softplus(pre)
         dp_sigma = cts["sigma"][:].astype(jnp.float32) * sig_sigma
-        wgrad("sigma", shared, dp_sigma)
+        wgrad("sigma", shared_cd, dp_sigma)
         dshared += dgrad("sigma", dp_sigma)
 
         if want_rgb:
@@ -198,7 +203,7 @@ def _make_bwd_kernel(cfg, names, compute_dtype, heads):
                      * s_r1 * (1.0 - s_r1))
             wgrad("rgb1", r0, dp_r1)
             dp_r0 = dgrad("rgb1", dp_r1) * g_r0
-            wgrad("rgb0", feats, dp_r0)
+            wgrad("rgb0", feats_cd, dp_r0)
             dfeats += dgrad("rgb0", dp_r0)
 
         if want_sun:
@@ -237,12 +242,12 @@ def _make_bwd_kernel(cfg, names, compute_dtype, heads):
             dp_m1 = cts["sem_logits"][:].astype(jnp.float32)
             wgrad("sem1", a_m0, dp_m1)
             dp_m0 = dgrad("sem1", dp_m1) * g_m0
-            wgrad("sem0", shared, dp_m0)
+            wgrad("sem0", shared_cd, dp_m0)
             dshared += dgrad("sem0", dp_m0)
 
         if want_feats:
             # feats has no activation: dpre == dfeats
-            wgrad("feats", shared, dfeats)
+            wgrad("feats", shared_cd, dfeats)
             dshared += dgrad("feats", dfeats)
 
         # --------------------------------------------------- trunk backward
@@ -291,9 +296,11 @@ def _fwd_impl(x_in, sun, extras, ws, bs, cfg, names, compute_dtype_name,
     extras = tuple(_pad_rows(e, n_pad) for e in extras)
 
     outputs = _active_outputs(cfg, heads)
+    # weights enter VMEM in compute dtype (halves their VMEM + HBM traffic;
+    # the kernels cast per-use anyway); biases stay f32 for the f32 bias add
     weight_args, weight_specs = [], []
     for wk, bk in zip(ws, bs):
-        weight_args += [wk, bk]
+        weight_args += [wk.astype(cd), bk]
         weight_specs += [_full_spec(wk.shape), _full_spec(bk.shape)]
 
     outs = pl.pallas_call(
@@ -325,9 +332,11 @@ def _bwd_impl(x_in, sun, extras, ws, bs, cts, cfg, names, compute_dtype_name,
     ct_args = [_pad_rows(cts[nm].astype(jnp.float32), n_pad)
                for nm, _ in outputs]
 
+    # weights enter VMEM in compute dtype (halves their VMEM + HBM traffic;
+    # the kernels cast per-use anyway); biases stay f32 for the f32 bias add
     weight_args, weight_specs = [], []
     for wk, bk in zip(ws, bs):
-        weight_args += [wk, bk]
+        weight_args += [wk.astype(cd), bk]
         weight_specs += [_full_spec(wk.shape), _full_spec(bk.shape)]
 
     out_specs, out_shapes = [], []
