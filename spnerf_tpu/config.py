@@ -44,6 +44,8 @@ class ModelConfig:
     hash_levels: int = 16
     hash_features: int = 2
     hash_log2T: int = 19
+    hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "fused_vjp"
+    hash_frames: int = 1  # disjoint multi-AOI frames (data/multi.py)
 
 
 @dataclass(frozen=True)
@@ -185,6 +187,11 @@ def build_train_parser():
                    help="hash encoding: features per level")
     p.add_argument("--hash_log2T", type=int, default=19,
                    help="hash encoding: log2 of the per-level table size")
+    p.add_argument("--hash_impl", type=str, default="auto",
+                   choices=["auto", "xla", "sorted_vjp", "fused_vjp"],
+                   help="hash lookup backward: plain autodiff scatters (xla),"
+                        " sorted scatter-add (sorted_vjp), or one flat "
+                        "scatter across levels (fused_vjp)")
     p.add_argument("--proposal", action="store_true",
                    help="density-only proposal network places the main "
                         "field's samples (interlevel loss)")
@@ -249,6 +256,11 @@ def model_config_from_args(args) -> ModelConfig:
         hash_levels=getattr(args, "hash_levels", 16),
         hash_features=getattr(args, "hash_features", 2),
         hash_log2T=getattr(args, "hash_log2T", 19),
+        hash_impl=getattr(args, "hash_impl", "auto"),
+        # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
+        # resolution in its own pseudo-table (models/hashgrid.py frames)
+        hash_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")
+                               .split(","))),
     )
 
 

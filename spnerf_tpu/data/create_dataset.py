@@ -170,15 +170,23 @@ def _sun_angles_from_use00a(ntf_path):
     the TRE's last two 5-character fields, which the USE00A layout (STDI-0002,
     107-byte TRE) defines as SUN_EL and SUN_AZ. Replaces the reference's
     rasterio/GDAL read of NITF_USE00A_SUN_EL from a private MSI server
-    (create_DFC2019_dataset_auto.py:116-147)."""
+    (create_DFC2019_dataset_auto.py:116-147).
+
+    Only the first 1 MiB is read: TREs live in the NITF file/image headers,
+    which precede the image payload — MSI NITFs carry hundreds of MB of
+    pixels that must neither be loaded wholesale nor scanned (the 6-byte tag
+    could occur by chance inside pixel data and misparse as garbage
+    angles)."""
     with open(ntf_path, "rb") as f:
-        data = f.read()
+        data = f.read(1 << 20)
     pos = data.find(b"USE00A")
     if pos < 0:
         return None
     try:
         cel = int(data[pos + 6: pos + 11])
         tre = data[pos + 11: pos + 11 + cel]
+        if len(tre) < cel:
+            return None
         el = float(tre[-10:-5])
         az = float(tre[-5:])
         return el, az

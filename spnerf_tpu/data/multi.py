@@ -79,8 +79,8 @@ def load_scenes(aoi_ids, dataset_dir_fn, **scene_kwargs) -> MultiScene:
             rec.t += id_offset
         id_offset += len(scene.train_images) + max(len(scene.val_images) - 1, 0)
         scenes.append(scene)
-        for k in merged:
-            merged[k].append(getattr(scene, k))
+        for field in merged:
+            merged[field].append(getattr(scene, field))
     return MultiScene(
         scenes=scenes, aoi_ids=list(aoi_ids),
         **{k: np.concatenate(v, axis=0) for k, v in merged.items()},

@@ -12,20 +12,26 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
     module for the configuration. encoding='siren' is the SP-NeRF flagship;
     encoding='hash' is the Instant-NGP-style hash-grid variant.
 
-    hash_impl: encoding implementation for the hash trunk — default "xla"
-    (plain autodiff). The restructured-VJP variant ("fused_vjp",
+    hash_impl: encoding implementation for the hash trunk; None resolves
+    cfg.hash_impl ("auto" -> "xla" plain autodiff). "sorted_vjp" sorts the
+    backward's cotangent rows before a sorted scatter-add (the hash config is
+    scatter-row-bound on TPU). "fused_vjp" (one flat scatter across levels,
     ops/pallas/hash_enc.py) measured SLOWER on the v5e (559 vs 385 ms/step,
-    light hash config): XLA's own per-level take-VJP scatters beat one flat
-    scatter over the (L*T, F) table. Kept selectable for future toolchains."""
+    light config): XLA's per-level take-VJP scatters beat one flat scatter
+    over the (L*T, F) table. Kept selectable for future toolchains."""
     import jax.numpy as jnp
 
     dtype = compute_dtype or jnp.float32
     if getattr(cfg, "encoding", "siren") == "hash":
+        impl = hash_impl or getattr(cfg, "hash_impl", "auto")
+        if impl == "auto":
+            impl = "xla"
         return HashSPNeRF(cfg=cfg, compute_dtype=dtype,
                           n_levels=getattr(cfg, "hash_levels", 16),
                           n_features=getattr(cfg, "hash_features", 2),
                           log2_table_size=getattr(cfg, "hash_log2T", 19),
-                          enc_impl=hash_impl or "xla")
+                          frames=getattr(cfg, "hash_frames", 1),
+                          enc_impl=impl)
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 
 

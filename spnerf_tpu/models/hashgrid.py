@@ -28,6 +28,9 @@ from .spnerf import TorchDense, torch_linear_init
 # JAX backends, which permanently defeats a later jax_platforms=cpu pin
 # (the sitecustomize pre-imports jax; see utils/platform.py)
 _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+# 4th prime for the AOI-frame index in multi-AOI hashing (disjoint tables
+# per frame without spending resolution on the empty inter-AOI gaps)
+_FRAME_PRIME = np.uint32(3674653429)
 
 # the 8 corner offsets of a unit cell
 _CORNERS = np.array(
@@ -36,10 +39,15 @@ _CORNERS = np.array(
 )  # (8, 3)
 
 
-def _hash_coords(coords, table_size):
-    """coords: (..., 3) uint32 -> (...,) int32 indices in [0, table_size)."""
+def _hash_coords(coords, table_size, frame=None):
+    """coords: (..., 3) uint32 -> (...,) int32 indices in [0, table_size).
+
+    frame: optional (...,) uint32 AOI-frame index XORed into the hash so each
+    multi-AOI frame addresses a disjoint pseudo-table at full resolution."""
     h = (coords * _PRIMES).astype(jnp.uint32)
     h = h[..., 0] ^ h[..., 1] ^ h[..., 2]
+    if frame is not None:
+        h = h ^ (frame * _FRAME_PRIME)
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
@@ -91,6 +99,12 @@ class HashGridEncoding(nn.Module):
     base_resolution: int = 16
     max_resolution: int = 2048
     impl: str = "xla"
+    # number of disjoint multi-AOI frames along x (data/multi.py translates
+    # AOI k by k * FRAME_SPACING). Each frame is hashed at FULL resolution in
+    # its own pseudo-table (frame index XORed into the hash) — without this,
+    # the [-1,1] clip collapses every AOI after the first onto one boundary
+    # plane of the grid.
+    frames: int = 1
 
     @nn.compact
     def __call__(self, xyz):
@@ -107,9 +121,21 @@ class HashGridEncoding(nn.Module):
             (L, T, F),
         )
 
-        x01 = jnp.clip((jnp.asarray(xyz, jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+        xyz = jnp.asarray(xyz, jnp.float32)
+        frame = None
+        if self.frames > 1:
+            from ..data.multi import FRAME_SPACING
 
-        if self.impl == "fused_vjp":
+            fidx = jnp.clip(jnp.round(xyz[:, 0] / FRAME_SPACING), 0,
+                            self.frames - 1)
+            xyz = xyz - jnp.stack(
+                [fidx * FRAME_SPACING, jnp.zeros_like(fidx),
+                 jnp.zeros_like(fidx)], axis=-1)
+            frame = fidx.astype(jnp.uint32)[:, None]  # broadcast over corners
+
+        x01 = jnp.clip((xyz + 1.0) * 0.5, 0.0, 1.0)
+
+        if self.impl == "fused_vjp" and frame is None:
             from ..ops.pallas.hash_enc import hash_encode
 
             return hash_encode(x01, table,
@@ -123,7 +149,7 @@ class HashGridEncoding(nn.Module):
             frac = xs - x0  # (N, 3)
             base = x0.astype(jnp.uint32)  # (N, 3)
             corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
-            idx = _hash_coords(corners, T)  # (N, 8)
+            idx = _hash_coords(corners, T, frame)  # (N, 8)
             take = _take_sorted if self.impl == "sorted_vjp" else (
                 lambda t, i: jnp.take(t, i, axis=0))
             vals = take(table[l], idx)  # (N, 8, F)
@@ -148,6 +174,7 @@ class HashSPNeRF(nn.Module):
     log2_table_size: int = 19
     hidden: int = 64
     enc_impl: str = "xla"  # forwarded to HashGridEncoding.impl
+    frames: int = 1  # multi-AOI frames (HashGridEncoding.frames)
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
@@ -162,6 +189,7 @@ class HashSPNeRF(nn.Module):
         enc = HashGridEncoding(
             n_levels=self.n_levels, n_features=self.n_features,
             log2_table_size=self.log2_table_size, impl=self.enc_impl,
+            frames=self.frames,
         )(xyz)
 
         x_in = enc

@@ -56,6 +56,11 @@ def composite(field_out, z_vals, noise_std=0.0, key=None):
     if "sun_v" in field_out:
         result["sun"] = field_out["sun_v"].astype(jnp.float32)  # (R, S, 1)
     if "rgb" in field_out:
+        if "sun" not in result:
+            raise ValueError(
+                "composite() with an 'rgb' head requires 'sun_v': the S-NeRF "
+                "irradiance model is rgb * (sun_v + (1 - sun_v) * sky) — "
+                "evaluate heads including 'sun' (or drop 'rgb')")
         rgbs = field_out["rgb"].astype(jnp.float32)  # (R, S, 3)
         sun_v = result["sun"]
         sky = field_out["sky"].astype(jnp.float32)  # (R, S, 3)

@@ -254,7 +254,8 @@ def render_rays(
         if rc.solar_correction:
             sc = _inference(
                 fine_field_apply, rays_o, sun_d, z_fine, sun_d, t_emb, sems,
-                noise_std, get("sc_noise_fine"), heads=("sun",),
+                noise_std, get("sc_noise_fine"),
+                heads=None if _NO_PRUNE else ("sun",),
             )
             fine["weights_sc"] = sc["weights"]
             fine["transparency_sc"] = sc["transparency"]

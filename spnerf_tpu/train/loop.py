@@ -110,14 +110,11 @@ class Trainer:
         from ..models import load_model
 
         dtype = jnp.bfloat16 if rc.compute_dtype == "bfloat16" else jnp.float32
-        # hash trunk: restructured-VJP lookup on accelerators (load_model
-        # default); --use_pallas opts the CPU path into the same graph
-        hash_impl = None
-        if (mc.encoding == "hash" and rc.use_pallas
-                and jax.default_backend() == "cpu"):
-            hash_impl = "fused_vjp"
-        self.model = load_model(mc, dtype, hash_impl=hash_impl)
-        self.fine_model = (load_model(mc, dtype, hash_impl=hash_impl)
+        # hash lookup impl comes from mc.hash_impl ("auto" -> plain XLA
+        # autodiff, the fastest measured on the v5e; --hash_impl selects
+        # sorted_vjp / fused_vjp variants)
+        self.model = load_model(mc, dtype)
+        self.fine_model = (load_model(mc, dtype)
                            if rc.n_importance > 0 else None)
         self.t_embed = TransientEmbedding(vocab=t_vocab, dims=mc.t_embedding_dims) if mc.beta else None
         self.proposal_model = None
@@ -444,7 +441,10 @@ class Trainer:
         # (interpret mode on CPU). Configs outside supports_config, and runs
         # with a separate fine model, fall back to the XLA path.
         use_pallas = False
-        if self.fine_model is None:
+        # proposal-sampler configs also stay on the XLA path: the fused branch
+        # does not thread proposal_apply, so taking it would silently render
+        # eval images with stratified sample placement unlike training
+        if self.fine_model is None and not self.rc.proposal:
             from ..ops.pallas import supports_config
 
             on_accelerator = jax.default_backend() != "cpu"

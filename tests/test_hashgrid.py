@@ -184,3 +184,33 @@ def test_incidence_angle_sorting(dfc269_json_dir):
     assert len(spaths) == len(paths)
     assert solar_incidence_angle(90.0, 0.0) == pytest.approx(0.0)
     assert solar_incidence_angle(0.0, 90.0) == pytest.approx(90.0)
+
+
+def test_multi_aoi_frames_hash_disjointly(rng):
+    """Multi-AOI: AOI k lives at x + k*FRAME_SPACING (data/multi.py). With
+    frames>1 the encoding must (a) see each frame at full resolution (not the
+    round-1 bug where the [-1,1] clip collapsed AOI k>0 onto a boundary
+    plane), and (b) give different features to identical local coordinates in
+    different frames (disjoint pseudo-tables)."""
+    from spnerf_tpu.data.multi import FRAME_SPACING
+
+    xyz0 = jnp.asarray(rng.uniform(-0.9, 0.9, size=(257, 3))
+                       .astype(np.float32))
+    xyz1 = xyz0 + jnp.array([FRAME_SPACING, 0.0, 0.0])
+    kw = dict(n_levels=4, n_features=2, log2_table_size=12,
+              base_resolution=4, max_resolution=64)
+    enc = HashGridEncoding(frames=2, **kw)
+    params = enc.init(jax.random.PRNGKey(0), xyz0)
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+
+    f0 = np.asarray(enc.apply(params, xyz0))
+    f1 = np.asarray(enc.apply(params, xyz1))
+    # frame 1 is NOT collapsed: distinct inputs give distinct features
+    assert np.std(f1, axis=0).mean() > 0.1 * np.std(f0, axis=0).mean()
+    # and the two frames hash into different cells
+    assert np.abs(f0 - f1).max() > 1e-3
+
+    # frames=1 stays bit-identical to the pre-frames encoding
+    enc_plain = HashGridEncoding(frames=1, **kw)
+    np.testing.assert_array_equal(np.asarray(enc_plain.apply(params, xyz0)),
+                                  f0)
