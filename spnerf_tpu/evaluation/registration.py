@@ -152,7 +152,14 @@ def compute_shift(ref, sec, scaling=False, irange=5, use_native=True):
 
 def apply_shift(v, dx=0, dy=0, a=1.0, b=0.0, use_native=True):
     """Resample v by the integer shift and apply z -> a*z + b
-    (reference dsmr.apply_shift_, modules/dsmr.py:139-150)."""
+    (reference dsmr.apply_shift_, modules/dsmr.py:139-150).
+
+    Documented deviation: the reference signature also takes planar-ramp
+    terms c, d (z + c*x + d*y). They are intentionally dropped here — the
+    reference's own numba kernel shadows `c` with its channel loop variable
+    (modules/dsmr.py:146), so the ramp never takes effect, and every caller
+    passes c=d=0 (modules/dsmr.py:207-213, eval.py:229-232). Reproducing the
+    parameters would reproduce a latent bug, not behavior."""
     v = np.asarray(v, np.float64)
     lib = _load_native() if use_native else False
     if lib:
