@@ -205,7 +205,12 @@ def build_train_parser():
                    help="number of devices for ray data-parallelism; 0 = all")
     p.add_argument("--no_timestamp_exp_name", action="store_true")
     p.add_argument("--use_pallas", action="store_true",
-                   help="use the fused Pallas field-evaluation kernel")
+                   help="force the fused Pallas field-evaluation kernel for "
+                        "eval/validation rendering (it is the default on TPU "
+                        "backends; this flag opts non-TPU backends in via "
+                        "interpret mode). Training always uses the XLA path "
+                        "— two generations of fused training kernels "
+                        "measured slower (see train/loop.py)")
     p.add_argument("--check_val_every_n_epoch", type=int, default=2)
     p.add_argument("--log_every", type=int, default=100,
                    help="steps per scan window (one host dispatch + log line)")

@@ -123,20 +123,17 @@ class Trainer:
 
             self.proposal_model = ProposalField()
 
-        # fused Pallas FIELD (fwd+bwd custom VJP, ops/pallas/field_train) for
-        # the training path: trunk + every head in VMEM, dW accumulated
-        # on-chip. Supersedes the trunk-only kernel (trunk_train), which lost
-        # integrated to XLA (67.4 vs 51.4 ms) on boundary traffic.
-        self._fused_train_apply = None
-        if rc.use_pallas:
-            from ..ops.pallas import supports_config
-            from ..ops.pallas.field_train import make_train_field
-
-            if supports_config(mc):
-                self._fused_train_apply = make_train_field(
-                    mc, compute_dtype_name=rc.compute_dtype,
-                    interpret=jax.default_backend() == "cpu")
-
+        # TRAINING runs the plain XLA path. Two rounds of fused training
+        # kernels (trunk-only, then the full field: trunk + every head fwd+bwd
+        # in VMEM with on-chip dW accumulation) both LOST to XLA on the v5e —
+        # 67.4 and 68.5 ms/step vs 51.8 — and the kernel decomposition showed
+        # why: the step is NOT activation-bandwidth-bound (the (N,512) saves
+        # cost ~6 ms of 52 at batch 1024); XLA's layer-batched matmuls run at
+        # ~88 TFLOP/s on the mixed fwd+bwd workload, so a recompute backward's
+        # 4/3x FLOPs can at best tie. The fused FORWARD kernel, by contrast,
+        # wins 5x standalone (8.5 vs 42.5 ms on 131k points) and is the
+        # default for eval rendering (build_render_fn). Both training kernels
+        # were measured, documented (CLAUDE.md round-2), and removed.
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
         self.tx = optax.adam(self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
         self._train_step = None
@@ -163,14 +160,6 @@ class Trainer:
 
     # ------------------------------------------------------------- rendering
     def _field_apply(self, params, which="coarse"):
-        if self._fused_train_apply is not None:
-            fused = self._fused_train_apply
-
-            def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
-                return fused(params[which], xyz, sun_d, t_emb, sem_labels,
-                             heads=heads)
-
-            return apply
         model = self.model if which == "coarse" else self.fine_model
 
         def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
