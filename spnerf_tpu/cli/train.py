@@ -229,9 +229,20 @@ def main(argv=None):
     window_len = max(1, min(getattr(args, "log_every", 100),
                             args.max_train_steps))
     if args.encoding == "hash":
-        # long scans of the gather-heavy hash-encoding step crash the TPU
-        # runtime ("kernel fault"; 200-iteration scan reproduces, 50 is safe)
-        window_len = min(window_len, 50)
+        # Long scans of the hash train step crash the tunneled TPU runtime
+        # ("kernel fault", worker restart). Measured boundary (round 2):
+        # trips x sparse-ops-per-step <= 2400 is safe (full config window 25,
+        # light window 50), >= 4800 crashes (full window 50, light window
+        # 200). A pure gather+scatter scan at 6400 sparse ops runs fine, and
+        # lax.scan compiles its body once regardless of length — so this is a
+        # runtime resource limit on sparse ops RETIRED per program execution
+        # when interleaved with dense compute, not program size. Cap the scan
+        # window so each dispatched program stays under the measured-safe
+        # budget; correctness is unaffected (windows chain).
+        n_enc_passes = (1 + int(args.guidedsample) + int(args.sc_lambda > 0)
+                        + 2 * int(args.n_importance > 0))
+        sparse_per_step = n_enc_passes * (2 * args.hash_levels + 2)
+        window_len = min(window_len, max(1, 2400 // sparse_per_step))
     run_window = trainer.build_train_scan(args.batch_size, window_len)
     run_tail = None
     trainer.build_render_fn(chunk=args.chunk)

@@ -39,10 +39,12 @@ class ModelConfig:
     encoding: str = "siren"  # "siren" (SP-NeRF flagship) | "hash" (NGP-style)
     # hash-encoding geometry (encoding="hash" only). The TPU is
     # latency-bound on the per-(point, corner, level) gather/scatter rows,
-    # so fewer, wider levels trade quality for a proportional speedup
-    # (rows scale with hash_levels; total feature width is levels*features).
-    hash_levels: int = 16
-    hash_features: int = 2
+    # so fewer, wider levels speed the step proportionally (rows scale with
+    # hash_levels at constant total feature width). 8x4 is the measured
+    # sweet spot on the v5e: 2.7x faster than NGP-classic 16x2 with equal
+    # metrics on the bundled scene (README round-2); 16x2 remains available.
+    hash_levels: int = 8
+    hash_features: int = 4
     hash_log2T: int = 19
     hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "fused_vjp"
     hash_frames: int = 1  # disjoint multi-AOI frames (data/multi.py)
@@ -180,10 +182,12 @@ def build_train_parser():
                    choices=["siren", "hash"],
                    help="field trunk: siren (SP-NeRF flagship) or hash "
                         "(Instant-NGP-style multiresolution hash grid)")
-    p.add_argument("--hash_levels", type=int, default=16,
+    p.add_argument("--hash_levels", type=int, default=8,
                    help="hash encoding: number of resolution levels (fewer, "
-                        "wider levels are faster on TPU; see models/hashgrid)")
-    p.add_argument("--hash_features", type=int, default=2,
+                        "wider levels are faster on TPU at equal total "
+                        "feature width; 8x4 measured 2.7x faster than "
+                        "NGP-classic 16x2 at equal quality)")
+    p.add_argument("--hash_features", type=int, default=4,
                    help="hash encoding: features per level")
     p.add_argument("--hash_log2T", type=int, default=19,
                    help="hash encoding: log2 of the per-level table size")
@@ -258,8 +262,8 @@ def model_config_from_args(args) -> ModelConfig:
         beta=args.beta,
         sem=args.sem,
         encoding=getattr(args, "encoding", "siren"),
-        hash_levels=getattr(args, "hash_levels", 16),
-        hash_features=getattr(args, "hash_features", 2),
+        hash_levels=getattr(args, "hash_levels", 8),
+        hash_features=getattr(args, "hash_features", 4),
         hash_log2T=getattr(args, "hash_log2T", 19),
         hash_impl=getattr(args, "hash_impl", "auto"),
         # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
