@@ -25,6 +25,10 @@ BASELINE_RAYS_PER_SEC_PER_CHIP = 6400.0
 def main():
     import jax
 
+    from spnerf_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _fake_batch, _flagship_configs
     from spnerf_tpu.train.loop import Trainer, scene_to_device_arrays
 

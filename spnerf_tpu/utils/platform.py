@@ -17,4 +17,28 @@ def apply_platform_env():
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+    enable_compilation_cache()
     return jax
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    Remote compiles through the tunneled TPU runtime cost 100-1000 s per
+    program and are NOT shared across processes; the on-disk cache makes a
+    repeat run of the same configuration skip them. Opt out with
+    SPNERF_NO_COMPILE_CACHE=1 or point SPNERF_COMPILE_CACHE elsewhere."""
+    import jax
+
+    if os.environ.get("SPNERF_NO_COMPILE_CACHE") == "1":
+        return
+    path = os.environ.get(
+        "SPNERF_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "spnerf_jax"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program regardless of compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
