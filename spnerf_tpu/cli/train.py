@@ -220,6 +220,14 @@ def main(argv=None):
         if restored is not None:
             state = restored
             print(f"resumed from {args.ckpt_path} at step {int(state.step)}")
+    elif getattr(args, "auto_resume", False):
+        # relaunch-and-continue for flaky runtimes: pick up this experiment's
+        # newest checkpoint if one exists (the tunneled TPU worker can fault
+        # spontaneously, killing the process but not the saved state)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"auto-resumed {args.exp_name} at step {int(state.step)}")
     state = trainer.replicate_state(state)
 
     data = trainer.shard_data(scene_to_device_arrays(scene))

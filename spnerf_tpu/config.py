@@ -127,6 +127,10 @@ def build_train_parser():
     # input / output paths
     p.add_argument("--project_dir", type=str, required=True)
     p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from this experiment's newest checkpoint if "
+                        "one exists (relaunch-and-continue after a runtime "
+                        "fault; --ckpt_path takes precedence)")
     p.add_argument("--dataset_name", type=str, default="DFC2019_269",
                    help="dataset directory name under <project_dir>/dataset "
                         "(the reference hard-codes DFC2019_269)")

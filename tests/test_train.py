@@ -136,3 +136,32 @@ def test_scan_matches_stepwise(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cli_auto_resume(dfc269_root, tmp_path, capsys):
+    """--auto_resume picks up the experiment's newest checkpoint: a relaunch
+    continues from the saved step instead of re-initializing (recovery story
+    for spontaneous TPU-runtime faults; reference only has --ckpt_path,
+    main.py:325)."""
+    import os
+
+    from spnerf_tpu.cli.train import main as train_main
+
+    proj = tmp_path / "proj"
+    (proj / "dataset").mkdir(parents=True)
+    os.symlink(dfc269_root, proj / "dataset" / "DFC2019_269")
+    argv = [
+        "--aoi_id", "JAX_269", "--model", "sp-nerf", "--exp_name", "ar",
+        "--no_timestamp_exp_name", "--project_dir", str(proj),
+        "--img_downscale", "8", "--batch_size", "64", "--n_samples", "4",
+        "--fc_units", "32", "--fc_layers", "2", "--chunk", "2048",
+        "--log_every", "10", "--check_val_every_n_epoch", "1",
+        "--save_every_n_epochs", "1", "--data_axis", "1",
+    ]
+    state1 = train_main(argv + ["--max_train_steps", "20"])
+    assert int(state1.step) == 20
+
+    state2 = train_main(argv + ["--max_train_steps", "40", "--auto_resume"])
+    out = capsys.readouterr().out
+    assert "auto-resumed ar at step 20" in out
+    assert int(state2.step) == 40
