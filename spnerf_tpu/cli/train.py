@@ -228,6 +228,9 @@ def main(argv=None):
         if restored is not None:
             state = restored
             print(f"auto-resumed {args.exp_name} at step {int(state.step)}")
+        else:
+            print(f"auto-resume: no checkpoint under {args.ckpts_dir}, "
+                  "starting fresh")
     state = trainer.replicate_state(state)
 
     data = trainer.shard_data(scene_to_device_arrays(scene))
@@ -249,7 +252,9 @@ def main(argv=None):
         # budget; correctness is unaffected (windows chain).
         n_enc_passes = (1 + int(args.guidedsample) + int(args.sc_lambda > 0)
                         + 2 * int(args.n_importance > 0))
-        sparse_per_step = n_enc_passes * (2 * args.hash_levels + 2)
+        # +8: per-step sparse ops OUTSIDE the encoding (7 batch gathers in
+        # Trainer._step_impl, transient-embedding gather) share the budget
+        sparse_per_step = n_enc_passes * (2 * args.hash_levels + 2) + 8
         window_len = min(window_len, max(1, 2400 // sparse_per_step))
     run_window = trainer.build_train_scan(args.batch_size, window_len)
     run_tail = None
@@ -257,6 +262,15 @@ def main(argv=None):
     logger = MetricLogger(args.logs_dir)
 
     start_step = int(jax.device_get(state.step))
+    if start_step >= args.max_train_steps:
+        # a completed run re-invoked (e.g. an --auto_resume retry wrapper
+        # looping after success): exit cleanly instead of re-validating and
+        # tripping orbax's StepAlreadyExistsError on the final save
+        print(f"already trained to step {start_step} >= "
+              f"{args.max_train_steps}; nothing to do")
+        logger.close()
+        ckpt.close()
+        return state
     run_key = jax.random.PRNGKey(args.seed + 1)
     last_epoch_validated = -1
     t0 = time.time()

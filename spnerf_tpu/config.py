@@ -241,6 +241,10 @@ def finalize_args(args, make_dirs=True):
 
     if args.exp_name is None:
         args.exp_name = args.aoi_id
+    if getattr(args, "auto_resume", False):
+        # a timestamped exp dir would defeat auto-resume (each relaunch
+        # would derive a fresh ckpts_dir and silently restart from step 0)
+        args.no_timestamp_exp_name = True
     if not getattr(args, "no_timestamp_exp_name", False):
         args.exp_name = f"{args.exp_name}-{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}"
 

@@ -50,7 +50,17 @@ class CheckpointManager:
             if hasattr(x, "dtype") else x,
             jax.device_get(target_state),
         )
-        return self._mgr.restore(int(step), args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._mgr.restore(int(step),
+                                     args=ocp.args.StandardRestore(abstract))
+        except Exception as exc:
+            raise RuntimeError(
+                f"checkpoint restore from {self.dir} (step {step}) failed — "
+                "the model built from the CURRENT flags must match the "
+                "architecture that was trained (e.g. hash geometry defaults "
+                "changed to 8x4 in round 2: pass the original "
+                "--hash_levels/--hash_features; the run's opts.json records "
+                f"them). Underlying error: {exc}") from exc
 
     def latest_step(self):
         return self._mgr.latest_step()

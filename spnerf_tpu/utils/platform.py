@@ -38,7 +38,14 @@ def enable_compilation_cache():
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache every program regardless of compile time
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # cache every program regardless of compile time — but only when an
+        # accelerator platform is in play: on CPU (tests, dev runs) the
+        # default threshold stands, or sub-millisecond compiles would fill
+        # the cache with thousands of useless entries
+        want = (os.environ.get("JAX_PLATFORMS", "")
+                or getattr(jax.config, "jax_platforms", None) or "")
+        if "cpu" not in str(want).lower():
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
     except Exception:
         pass
