@@ -165,3 +165,10 @@ def test_cli_auto_resume(dfc269_root, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "auto-resumed ar at step 20" in out
     assert int(state2.step) == 40
+
+    # re-invoking a COMPLETED run must exit cleanly (no re-validation, no
+    # orbax StepAlreadyExistsError from a duplicate final save)
+    state3 = train_main(argv + ["--max_train_steps", "40", "--auto_resume"])
+    out = capsys.readouterr().out
+    assert "nothing to do" in out
+    assert int(state3.step) == 40
