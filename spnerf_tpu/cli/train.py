@@ -93,10 +93,27 @@ def build_trainer_and_scene(args, mesh=None):
         ds_drop=args.ds_drop,
         ss_drop=args.ss_drop,
         noise_std=args.noise_std,
-        t_vocab=args.t_embbeding_vocab,
+        # jnp.take CLAMPS out-of-range ids (torch's nn.Embedding would raise),
+        # so an undersized vocab would silently alias every extra image onto
+        # the last embedding row — size it to the scene (multi-AOI offsets
+        # make ids unique across AOIs, data/multi.py)
+        t_vocab=max(args.t_embbeding_vocab, _scene_t_vocab(scene)),
         mesh=mesh,
     )
     return trainer, scene, steps_per_epoch
+
+
+def _scene_t_vocab(scene):
+    """Smallest transient-embedding vocab covering every train ray id and
+    validation record of the (possibly multi-AOI) scene."""
+    need = int(np.max(scene.ids)) + 1
+    if hasattr(scene, "validation_items"):
+        recs = (rec for _, _, rec in scene.validation_items())
+    else:
+        recs = iter(scene.val_images)
+    for rec in recs:
+        need = max(need, int(rec.t) + 1)
+    return need
 
 
 def run_validation(trainer, scene, state, args, epoch, logger, save_images):

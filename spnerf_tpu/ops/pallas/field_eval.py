@@ -80,13 +80,9 @@ def pack_params(params, cfg: ModelConfig):
     return tuple(names), ws, bs, sem_table
 
 
-def _positional_mapping(x, n_freqs):
-    parts = []
-    for k in range(n_freqs):
-        f = 2.0 ** k
-        parts.append(jnp.sin(f * x))
-        parts.append(jnp.cos(f * x))
-    return jnp.concatenate(parts, axis=-1)
+# the kernel's XLA-side preprocessing must match the trained flax model
+# bit-for-bit — use the model's own mapping, not a local re-derivation
+from ...models.spnerf import positional_mapping as _positional_mapping  # noqa: E402
 
 
 def _active_outputs(cfg: ModelConfig, heads):

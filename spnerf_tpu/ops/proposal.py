@@ -62,11 +62,9 @@ def _cum_weight_at(t_edges, w, t_query):
     )
     base = jnp.take_along_axis(cw, lo, axis=-1)
     wbin = jnp.take_along_axis(w, lo, axis=-1)
-    below = jnp.clip(t_query, None, t_edges[:, :1])  # before histogram -> 0
     out = base + frac * wbin
-    out = jnp.where(t_query <= t_edges[:, :1], 0.0, out)
+    out = jnp.where(t_query <= t_edges[:, :1], 0.0, out)  # before histogram
     out = jnp.where(t_query >= t_edges[:, -1:], cw[:, -1:], out)
-    del below
     return out
 
 

@@ -163,7 +163,10 @@ def render_rays(
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     sun_d = rays[:, 8:11]
-    near0, far0 = near[0, 0], far[0, 0]
+    # per-ray bounds for the guided-sampling clamp: the reference uses
+    # near[0,0]/far[0,0] (single-AOI, all rays identical); multi-AOI batches
+    # mix scenes with different normalized far, so clamp each ray to its own
+    near_r, far_r = near[:, 0], far[:, 0]
 
     prop_extras = {}
     if rc.proposal and proposal_apply is not None:
@@ -195,8 +198,8 @@ def render_rays(
             z_vals,
             rc.n_samples,
             det=(rc.perturb == 0.0),
-            near=near0,
-            far=far0,
+            near=near_r,
+            far=far_r,
             train=train,
             valid_depth=valid_depth,
             target_depth=None if target_depths is None else target_depths[:, 0],

@@ -74,16 +74,23 @@ def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
 
 def sample_3sigma(key, low_3sigma, high_3sigma, n, det, near, far):
     """Gaussian-shaped sampling between per-ray [low, high] bounds clamped to
-    the scene [near, far] scalars. Reference: modules/rendering.py:58-73.
+    [near, far]. Reference: modules/rendering.py:58-73.
 
-    low_3sigma, high_3sigma: (R,); near, far: scalars. Returns (R, n).
+    low_3sigma, high_3sigma: (R,); near, far: scalars OR per-ray (R,) arrays
+    (multi-AOI batches mix scenes whose normalized near/far differ — clamping
+    every ray to ray 0's bounds, as the single-AOI reference does, would pin
+    guided samples to the wrong AOI's range). Returns (R, n).
     """
+    near = jnp.broadcast_to(jnp.asarray(near, low_3sigma.dtype),
+                            low_3sigma.shape)
+    far = jnp.broadcast_to(jnp.asarray(far, low_3sigma.dtype),
+                           low_3sigma.shape)
     t_vals = jnp.linspace(0.0, 1.0, n, dtype=low_3sigma.dtype)
     step_size = (high_3sigma - low_3sigma) / (n - 1)  # (R,)
     bin_edges = jnp.clip(
         low_3sigma[:, None] * (1.0 - t_vals) + high_3sigma[:, None] * t_vals,
-        near,
-        far,
+        near[:, None],
+        far[:, None],
     )  # (R, n)
     # guard degenerate (zero-width) ranges so masked-out rays stay finite
     safe_step = jnp.where(jnp.abs(step_size) < 1e-12, 1.0, step_size)
@@ -137,8 +144,10 @@ def guided_samples(
         return z_pred
     assert valid_depth is not None and target_depth is not None
     valid = valid_depth > 0
+    mid = jnp.broadcast_to(jnp.asarray(0.5 * (near + far),
+                                       pred_depth.dtype), pred_depth.shape)
     # keep masked-out rows numerically safe (their samples are discarded below)
-    safe_depth = jnp.where(valid, target_depth, 0.5 * (near + far))
+    safe_depth = jnp.where(valid, target_depth, mid)
     safe_std = jnp.where(valid, jnp.maximum(target_std, 1e-12), 1.0)
     z_gt = sample_3sigma(
         k2, safe_depth - 3.0 * safe_std, safe_depth + 3.0 * safe_std,

@@ -102,7 +102,10 @@ class Trainer:
         self.ds_drop_step = float(np.round(ds_drop * max_steps))
         self.ss_drop_step = float(np.round(ss_drop * max_steps))
         self.noise_std0 = float(noise_std)
-        self.beta_warmup_step = 2 * self.steps_per_epoch
+        # beta engages after first_beta_epoch epochs (reference --t, wired
+        # through LossConfig; main.py:150-153)
+        self.beta_warmup_step = (int(getattr(lc, "first_beta_epoch", 2))
+                                 * self.steps_per_epoch)
         self.t_vocab = t_vocab
         self.mesh = mesh
         self.donate = donate
@@ -507,6 +510,15 @@ class Trainer:
                 lambda a: render_chunk(params, *a), (rays_g, ts_g, sems_g))
 
         def render_image(params, rays, t, sems=None):
+            # upload the parameter tree ONCE per image: callers pass host
+            # numpy params (jax.device_get in run_validation), and jit does
+            # not cache host->device transfers across calls — without this,
+            # every group dispatch would re-send ~11 MB of flagship params
+            # over the bandwidth-starved tunneled link
+            if self.mesh is not None:
+                params = jax.device_put(params, NamedSharding(self.mesh, P()))
+            else:
+                params = jax.device_put(params)
             n = rays.shape[0]
             n_chunks = -(-n // chunk)
             n_groups = -(-n_chunks // group)

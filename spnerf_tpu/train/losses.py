@@ -97,10 +97,16 @@ def satnerf_loss(results, target_rgb, lc: LossConfig, beta_min=0.05):
 
 def _pred_depth_std(z_vals, pred_depth, pred_weights):
     """sqrt(sum(w * (z - d)^2)): std of the depth distribution along a ray
-    (reference modules/metrics.py:102)."""
-    return jnp.sqrt(
-        jnp.sum((z_vals - pred_depth[:, None]) ** 2 * pred_weights, axis=-1)
-    )
+    (reference modules/metrics.py:102).
+
+    The sum is floored before the sqrt: a fully-transparent ray (all weights
+    underflowed to 0) would otherwise produce sqrt(0), whose VJP is 0/0 = NaN
+    even under a zero cotangent — one such ray in a GNLL depth batch would
+    NaN-poison every parameter gradient."""
+    return jnp.sqrt(jnp.maximum(
+        jnp.sum((z_vals - pred_depth[:, None]) ** 2 * pred_weights, axis=-1),
+        1e-12,
+    ))
 
 
 def depth_loss(
