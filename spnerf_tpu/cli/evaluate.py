@@ -16,6 +16,7 @@ import numpy as np
 from ..evaluation import psnr, ssim
 from ..evaluation.lpips import lpips as lpips_fn
 from ..evaluation.mae import dsm_pointwise_diff
+from ..evaluation.metrics import miou, overall_accuracy
 from ..io import read_geotiff
 
 
@@ -54,9 +55,51 @@ def _load_rgb(path):
     return np.clip(arr, 0.0, 1.0)
 
 
+def _semantic_metrics(pred_sem_path, gt_cls_path):
+    """mIoU / OA of a saved semantic prediction against the dataset CLS tif.
+
+    Both rasters carry ORIGINAL DFC2019 class IDs (the validation saver remaps
+    internal indices back, evaluation/outputs.py remap_semantics_to_original);
+    both are remapped to internal indices via SEMANTIC_CONFIG.label_mapping and
+    compared on pixels whose GT class is in the config. The reference defines
+    these metrics but never surfaces them (modules/metrics.py:218-246,
+    main.py:264-269) — this exceeds it."""
+    from ..config import SEMANTIC_CONFIG
+
+    pred, _ = read_geotiff(pred_sem_path)
+    gt, _ = read_geotiff(gt_cls_path)
+    pred = np.asarray(pred).squeeze().astype(np.int64)
+    gt = np.asarray(gt).squeeze().astype(np.int64)
+    if gt.shape != pred.shape:
+        # prediction may be at a downscaled grid: nearest-neighbor the GT
+        ri = (np.arange(pred.shape[0]) * gt.shape[0] / pred.shape[0]).astype(int)
+        ci = (np.arange(pred.shape[1]) * gt.shape[1] / pred.shape[1]).astype(int)
+        gt = gt[np.ix_(ri, ci)]
+    # infer class count from the original IDs present in the prediction
+    n_classes = None
+    for n, cfg in sorted(SEMANTIC_CONFIG.items()):
+        if set(np.unique(pred)).issubset(set(cfg["label_mapping"]) | {65}):
+            n_classes = n
+            break
+    if n_classes is None:
+        n_classes = max(SEMANTIC_CONFIG)
+    label_map = SEMANTIC_CONFIG[n_classes]["label_mapping"]
+    remap = np.full(max(max(label_map), 65) + 1, -1, np.int64)
+    for orig, internal in label_map.items():
+        remap[orig] = internal
+    pred_i = remap[np.clip(pred, 0, len(remap) - 1)]
+    gt_i = remap[np.clip(gt, 0, len(remap) - 1)]
+    labeled = gt_i >= 0
+    if not labeled.any():
+        return float("nan"), float("nan")
+    return (float(miou(pred_i[labeled], gt_i[labeled], n_classes)),
+            float(overall_accuracy(pred_i[labeled], gt_i[labeled])))
+
+
 def eval_aoi(args):
     pred_dsm_dir = os.path.join(args.logs_dir, "val", "dsm")
     pred_rgb_dir = os.path.join(args.logs_dir, "val", "rgb")
+    pred_sem_dir = os.path.join(args.logs_dir, "val", "semantic")
     gt_dsm_dir = os.path.join(args.dataset_dir, "Truth")
     gt_rgb_base = os.path.join(args.dataset_dir, "RGB")
     epoch = args.epoch_number
@@ -80,7 +123,8 @@ def eval_aoi(args):
             "--skip_lpips to evaluate without the LPIPS metric."
         )
 
-    stats = {"psnr": [], "ssim": [], "mae": [], "lpips": []}
+    stats = {"psnr": [], "ssim": [], "mae": [], "lpips": [], "miou": [],
+             "oa": []}
     for fname in files:
         src_id = fname[: -len(suffix)]
         aoi_id = "_".join(src_id.split("_")[:2])
@@ -118,16 +162,30 @@ def eval_aoi(args):
         ssim_v = float(ssim(pred_rgb, gt_rgb))
         lpips_v = lpips_fn(pred_rgb, gt_rgb) if compute_lpips else float("nan")
 
+        sem_str = ""
+        pred_sem_path = os.path.join(pred_sem_dir, f"{src_id}{suffix}")
+        gt_cls_path = os.path.join(args.dataset_dir, "Semantic",
+                                   f"{aoi_id}_CLS.tif")
+        if os.path.exists(pred_sem_path) and os.path.exists(gt_cls_path):
+            miou_v, oa_v = _semantic_metrics(pred_sem_path, gt_cls_path)
+            stats["miou"].append(miou_v)
+            stats["oa"].append(oa_v)
+            sem_str = f" / mIoU {miou_v:.3f} / OA {oa_v:.3f}"
+
         for k, v in (("psnr", psnr_v), ("ssim", ssim_v), ("mae", mae_v),
                      ("lpips", lpips_v)):
             stats[k].append(v)
         print(f"{src_id}: PSNR {psnr_v:.3f} / SSIM {ssim_v:.3f} / "
-              f"LPIPS {lpips_v:.3f} / MAE {mae_v:.3f}")
+              f"LPIPS {lpips_v:.3f} / MAE {mae_v:.3f}{sem_str}")
 
     print(f"\nMean PSNR: {np.nanmean(stats['psnr']) if stats['psnr'] else 0:.3f}")
     print(f"Mean SSIM: {np.nanmean(stats['ssim']) if stats['ssim'] else 0:.3f}")
     print(f"Mean MAE: {np.nanmean(stats['mae']) if stats['mae'] else np.nan:.3f}")
-    print(f"Mean LPIPS: {np.nanmean(stats['lpips']) if stats['lpips'] else np.nan:.3f}\n")
+    print(f"Mean LPIPS: {np.nanmean(stats['lpips']) if stats['lpips'] else np.nan:.3f}")
+    if stats["miou"]:
+        print(f"Mean mIoU: {np.nanmean(stats['miou']):.3f}")
+        print(f"Mean OA: {np.nanmean(stats['oa']):.3f}")
+    print()
     print("Eval finished!")
     return {k: (float(np.nanmean(v)) if v else float("nan"))
             for k, v in stats.items()}

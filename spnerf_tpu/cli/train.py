@@ -29,6 +29,7 @@ from ..config import (
 )
 from ..data import load_scene
 from ..evaluation import compute_mae_and_save_dsm_diff, psnr, ssim
+from ..evaluation.metrics import miou, overall_accuracy
 from ..evaluation.dsm import dsm_from_latlonalt
 from ..evaluation.outputs import save_nerf_output_to_images
 from ..parallel import data_mesh
@@ -194,14 +195,32 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
             # image grids are best-effort, but never fail silently
             print(f"validation image grid failed for {rec.img_id}: {exc!r}")
         scalars = {"psnr": psnr_v, "ssim": ssim_v, "mae": mae_v}
+        # semantic quality: the reference defines mIoU/OA but leaves them
+        # commented out of its val loop (main.py:264-269,
+        # modules/metrics.py:218-246) — surface them here. Pixels without a
+        # ground-truth label (< 0) are excluded.
+        if f"sem_logits_{typ}" in out and "sems" in sample:
+            pred_sem = np.argmax(np.asarray(out[f"sem_logits_{typ}"]), -1).ravel()
+            gt_sem = np.asarray(sample["sems"]).ravel()
+            labeled = gt_sem >= 0
+            if labeled.any():
+                scalars["miou"] = float(miou(pred_sem[labeled],
+                                             gt_sem[labeled],
+                                             args.num_sem_classes))
+                scalars["oa"] = float(overall_accuracy(pred_sem[labeled],
+                                                       gt_sem[labeled]))
         logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
         if split == "val":
             all_scalars.append(scalars)
+        sem_str = (f" miou {scalars['miou']:.3f} oa {scalars['oa']:.3f}"
+                   if "miou" in scalars else "")
         print(f"[val e{epoch}] {rec.img_id}: psnr {psnr_v:.2f} ssim {ssim_v:.3f} "
-              f"mae {mae_v:.3f}")
+              f"mae {mae_v:.3f}{sem_str}")
 
-    mean = {k: float(np.nanmean([s[k] for s in all_scalars]))
-            for k in ("psnr", "ssim", "mae")} if all_scalars else {}
+    keys = ("psnr", "ssim", "mae") + (
+        ("miou", "oa") if any("miou" in s for s in all_scalars) else ())
+    mean = {k: float(np.nanmean([s[k] for s in all_scalars if k in s]))
+            for k in keys} if all_scalars else {}
     if mean:
         logger.log(int(state.step), mean, split="val")
     return mean
@@ -290,6 +309,7 @@ def main(argv=None):
         return state
     run_key = jax.random.PRNGKey(args.seed + 1)
     last_epoch_validated = -1
+    last_saved_step = -1
     t0 = time.time()
     step = start_step
     profiled = False
@@ -336,12 +356,18 @@ def main(argv=None):
                                   save_images)
             ckpt.save(step, state,
                       metrics={"val_psnr": mean.get("psnr", float("nan"))})
+            last_saved_step = step
         t0 = time.time()
 
-    mean = run_validation(trainer, scene, state, args,
-                          args.max_train_steps // steps_per_epoch, logger, True)
-    ckpt.save(args.max_train_steps, state,
-              metrics={"val_psnr": mean.get("psnr", float("nan"))})
+    # final validation+save — unless the loop's last window already validated
+    # and saved at exactly max_train_steps (an aligned epoch boundary), where
+    # a second ckpt.save(step) would raise orbax's StepAlreadyExistsError
+    if last_saved_step != args.max_train_steps:
+        mean = run_validation(trainer, scene, state, args,
+                              args.max_train_steps // steps_per_epoch, logger,
+                              True)
+        ckpt.save(args.max_train_steps, state,
+                  metrics={"val_psnr": mean.get("psnr", float("nan"))})
     logger.close()
     ckpt.close()
     print("training complete")

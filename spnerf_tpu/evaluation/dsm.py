@@ -26,7 +26,6 @@ from ..io import write_geotiff
 from ..geo.utm import utm_epsg
 
 
-@functools.partial(jax.jit, static_argnames=("xsize", "ysize", "radius"))
 def rasterize_dsm(
     easts,
     norths,
@@ -39,18 +38,33 @@ def rasterize_dsm(
     radius: int = 1,
     sigma: float = np.inf,
 ):
-    """Average-splat rasterization. Returns (ysize, xsize) float32 with NaNs."""
-    easts = jnp.asarray(easts, jnp.float32)
-    norths = jnp.asarray(norths, jnp.float32)
-    alts = jnp.asarray(alts, jnp.float32)
+    """Average-splat rasterization. Returns (ysize, xsize) float32 with NaNs.
 
-    fx = (easts - xoff) / resolution  # fractional col
-    fy = (yoff - norths) / resolution  # fractional row (y axis down)
+    The origin subtraction happens in float64 on host: UTM northings near the
+    DFC2019 scenes are ~3.4e6 m, where float32 spacing (~0.25-0.5 m) is
+    comparable to the 0.5 m cell size — casting before subtracting would move
+    points one row/column nondeterministically. The reference rasterizes in
+    double via plyflatten (satellite_scene.py:540-547); only the small
+    origin-relative fractional coordinates go to the f32 device splat.
+    """
+    easts = np.asarray(easts, np.float64)
+    norths = np.asarray(norths, np.float64)
+    fx = ((easts - float(xoff)) / float(resolution)).astype(np.float32)
+    fy = ((float(yoff) - norths) / float(resolution)).astype(np.float32)
+    return _splat(fx, fy, jnp.asarray(alts, jnp.float32),
+                  xsize=int(xsize), ysize=int(ysize), radius=int(radius),
+                  sigma=float(sigma))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("xsize", "ysize", "radius", "sigma"))
+def _splat(fx, fy, alts, *, xsize: int, ysize: int, radius: int, sigma: float):
     cx = jnp.floor(fx).astype(jnp.int32)
     cy = jnp.floor(fy).astype(jnp.int32)
 
     num = jnp.zeros(ysize * xsize, jnp.float32)
     den = jnp.zeros(ysize * xsize, jnp.float32)
+    alts = jnp.asarray(alts, jnp.float32)
     use_gauss = np.isfinite(sigma)
 
     for dy in range(-radius, radius + 1):

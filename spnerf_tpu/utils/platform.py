@@ -39,12 +39,13 @@ def enable_compilation_cache():
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache every program regardless of compile time — but only when an
-        # accelerator platform is in play: on CPU (tests, dev runs) the
-        # default threshold stands, or sub-millisecond compiles would fill
-        # the cache with thousands of useless entries
-        want = (os.environ.get("JAX_PLATFORMS", "")
-                or getattr(jax.config, "jax_platforms", None) or "")
-        if "cpu" not in str(want).lower():
+        # accelerator platform is AFFIRMATIVELY selected: on CPU or when no
+        # platform is pinned (tests, dev runs on a CPU-only box) the default
+        # threshold stands, or sub-millisecond compiles would fill the cache
+        # with thousands of useless entries
+        want = str(os.environ.get("JAX_PLATFORMS", "")
+                   or getattr(jax.config, "jax_platforms", None) or "").lower()
+        if want and "cpu" not in want:
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               0.0)
     except Exception:
