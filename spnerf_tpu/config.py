@@ -46,7 +46,7 @@ class ModelConfig:
     hash_levels: int = 8
     hash_features: int = 4
     hash_log2T: int = 19
-    hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "fused_vjp"
+    hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "matmul_vjp" | "fused_vjp"
     hash_frames: int = 1  # disjoint multi-AOI frames (data/multi.py)
 
 
@@ -131,6 +131,15 @@ def build_train_parser():
                    help="resume from this experiment's newest checkpoint if "
                         "one exists (relaunch-and-continue after a runtime "
                         "fault; --ckpt_path takes precedence)")
+    p.add_argument("--watchdog", type=int, default=0,
+                   help="seconds of training silence (no metrics.jsonl "
+                        "progress) after which the run is killed and "
+                        "relaunched with --auto_resume; 0 disables. Set it "
+                        "above the worst-case first-window compile time. "
+                        "Recovery for runtimes that hang mid-dispatch "
+                        "(observed twice on the tunneled TPU)")
+    p.add_argument("--watchdog_max_restarts", type=int, default=20,
+                   help="give up after this many watchdog relaunches")
     p.add_argument("--dataset_name", type=str, default="DFC2019_269",
                    help="dataset directory name under <project_dir>/dataset "
                         "(the reference hard-codes DFC2019_269)")
@@ -196,10 +205,12 @@ def build_train_parser():
     p.add_argument("--hash_log2T", type=int, default=19,
                    help="hash encoding: log2 of the per-level table size")
     p.add_argument("--hash_impl", type=str, default="auto",
-                   choices=["auto", "xla", "sorted_vjp", "fused_vjp"],
+                   choices=["auto", "xla", "sorted_vjp", "matmul_vjp",
+                            "fused_vjp"],
                    help="hash lookup backward: plain autodiff scatters (xla),"
-                        " sorted scatter-add (sorted_vjp), or one flat "
-                        "scatter across levels (fused_vjp)")
+                        " sorted scatter-add (sorted_vjp), factorized one-hot"
+                        " MXU matmul (matmul_vjp), or one flat scatter across"
+                        " levels (fused_vjp)")
     p.add_argument("--proposal", action="store_true",
                    help="density-only proposal network places the main "
                         "field's samples (interlevel loss)")

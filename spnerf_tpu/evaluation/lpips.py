@@ -43,13 +43,44 @@ _POOL_AFTER = {0, 1}  # maxpool follows stages 0 and 1 (and 2 in torch, before 3
 _weights_cache = {}
 
 
+def weight_spec():
+    """The exact .npz contract for LPIPS v0.1 'alex' weights: key -> shape.
+
+    conv{i}_{w,b}: torchvision AlexNet `features` conv weights, OIHW / (O,);
+    lin{i}_w: the lpips-package learned 1x1 linear heads (lins[i].model[-1]),
+    shape (1, C_i, 1, 1), non-negative. Vendoring the actual values is
+    environment-blocked here (no egress; the lpips pip package carries them
+    under a BSD-2-Clause license) — run `convert_torch_lpips_to_npz` on any
+    machine with torch+lpips and point SPNERF_LPIPS_WEIGHTS at the result;
+    `load_weights` validates the file against this spec."""
+    spec = {}
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(_ALEX):
+        spec[f"conv{i}_w"] = (out_ch, in_ch, k, k)
+        spec[f"conv{i}_b"] = (out_ch,)
+        spec[f"lin{i}_w"] = (1, out_ch, 1, 1)
+        in_ch = out_ch
+    return spec
+
+
 def load_weights(weights_path=None):
     path = weights_path or os.environ.get("SPNERF_LPIPS_WEIGHTS")
     if not path or not os.path.exists(path):
         return None
     if path not in _weights_cache:
         with np.load(path) as z:
-            _weights_cache[path] = {k: jnp.asarray(z[k]) for k in z.files}
+            w = {k: jnp.asarray(z[k]) for k in z.files}
+        spec = weight_spec()
+        missing = sorted(set(spec) - set(w))
+        if missing:
+            raise ValueError(f"LPIPS weights {path} missing keys {missing}; "
+                             f"expected contract: {spec}")
+        for k, shape in spec.items():
+            if tuple(w[k].shape) != shape:
+                raise ValueError(
+                    f"LPIPS weight {k} in {path} has shape "
+                    f"{tuple(w[k].shape)}, expected {shape}")
+        _weights_cache[path] = w
     return _weights_cache[path]
 
 

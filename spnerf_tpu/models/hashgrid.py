@@ -83,6 +83,89 @@ def _take_sorted_bwd(res, ct):
 _take_sorted.defvjp(_take_sorted_fwd, _take_sorted_bwd)
 
 
+# ---------------------------------------------------------------- matmul VJP
+# The hash backward is scatter-bound on TPU (86 ms for 1M rows at T=2^19,
+# 20 ms at 2^15 — CLAUDE.md round-2). A scatter-add into a table is also a
+# matmul: dtab = one_hot(ids)^T @ ct. Materializing (M, T) one-hots is
+# impossible, but one_hot(ids) factorizes exactly: with T = A*B,
+# one_hot_T(i) = one_hot_A(i // B) (x) one_hot_B(i % B), so
+#   dtab[a*B+b, f] = sum_m 1[a_m=a] * (1[b_m=b] * ct[m, f])
+# is ONE (A, M) x (M, B*F) matmul — MXU work instead of serialized scatter
+# rows. FLOPs are M*T*F*2 regardless of the (A, B) split; the split is chosen
+# to minimize operand traffic M*(A + B*F). Blocked over M via lax.scan with
+# an f32 (A, B*F) accumulator so the one-hot blocks never hit HBM at full M.
+# Operands are bf16 (one-hots are exact in any dtype; ct rows round to bf16,
+# accumulation is f32 on the MXU) unless SPNERF_HASH_MATMUL_F32=1.
+
+def _matmul_dtab(ids, ct, T, F):
+    """scatter-add equivalent: (M,) int32 ids, (M, F) f32 ct -> (T, F) f32."""
+    import os
+
+    dtype = (jnp.float32 if os.environ.get("SPNERF_HASH_MATMUL_F32") == "1"
+             else jnp.bfloat16)
+    # g per block is block*B*F bytes in bf16: 32768 rows at B=512, F=4 is
+    # 128 MB of fused intermediate — fine for a 16 GB chip, and the scan
+    # keeps it out of simultaneous-liveness with the training buffers.
+    block = int(os.environ.get("SPNERF_HASH_MATMUL_BLOCK", "32768"))
+    # A = smallest power of two >= sqrt(T*F) that divides T (T is a power of
+    # two here), balancing one-hot-A traffic (M*A) against g traffic (M*B*F).
+    # Block size and split are env-tunable for hardware sweeps.
+    log2T = int(np.log2(T))
+    assert 2 ** log2T == T, "matmul_vjp requires a power-of-two table size"
+    log2A = min(max((log2T + int(np.ceil(np.log2(max(F, 1))))) // 2 + 1, 1),
+                log2T)
+    log2A = int(os.environ.get("SPNERF_HASH_MATMUL_LOG2A", log2A))
+    A = 2 ** log2A
+    B = T // A
+    M = ids.shape[0]
+    pad = (-M) % block
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+        ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
+    n_blocks = (M + pad) // block
+    ids = ids.reshape(n_blocks, block)
+    ct = ct.reshape(n_blocks, block, F)
+
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    def body(acc, xs):
+        ids_blk, ct_blk = xs
+        ia = ids_blk // B
+        ib = ids_blk % B
+        oh_a = (ia[:, None] == iota_a).astype(dtype)  # (block, A)
+        g = ((ib[:, None] == iota_b).astype(dtype)[:, :, None]
+             * ct_blk.astype(dtype)[:, None, :])  # (block, B, F)
+        acc = acc + jnp.matmul(oh_a.T, g.reshape(block, B * F),
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((A, B * F), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (ids, ct))
+    return acc.reshape(T, F)
+
+
+@jax.custom_vjp
+def _take_matmul(tab, idx):
+    """jnp.take(tab, idx, axis=0) whose BACKWARD is the factorized one-hot
+    matmul above instead of XLA's scatter-add (impl="matmul_vjp")."""
+    return jnp.take(tab, idx, axis=0)
+
+
+def _take_matmul_fwd(tab, idx):
+    return jnp.take(tab, idx, axis=0), (idx, tab.shape)
+
+
+def _take_matmul_bwd(res, ct):
+    idx, (T, F) = res
+    dtab = _matmul_dtab(idx.reshape(-1),
+                        ct.reshape(-1, F).astype(jnp.float32), T, F)
+    return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_matmul.defvjp(_take_matmul_fwd, _take_matmul_bwd)
+
+
 class HashGridEncoding(nn.Module):
     """xyz in [-1, 1]^3 -> (N, n_levels * n_features).
 
@@ -90,6 +173,8 @@ class HashGridEncoding(nn.Module):
       * "xla": plain autodiff (XLA's take-VJP emits one scatter-add per level)
       * "sorted_vjp": per-level custom VJP whose backward sorts the cotangent
         rows before a sorted scatter-add (_take_sorted)
+      * "matmul_vjp": per-level custom VJP whose backward is a factorized
+        one-hot MATMUL on the MXU instead of a scatter (_take_matmul)
       * "fused_vjp": ops/pallas/hash_enc.py — ONE flat scatter-add across all
         levels (measured slower than per-level on the v5e; kept selectable)"""
 
@@ -150,8 +235,9 @@ class HashGridEncoding(nn.Module):
             base = x0.astype(jnp.uint32)  # (N, 3)
             corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
             idx = _hash_coords(corners, T, frame)  # (N, 8)
-            take = _take_sorted if self.impl == "sorted_vjp" else (
-                lambda t, i: jnp.take(t, i, axis=0))
+            take = {"sorted_vjp": _take_sorted,
+                    "matmul_vjp": _take_matmul}.get(
+                        self.impl, lambda t, i: jnp.take(t, i, axis=0))
             vals = take(table[l], idx)  # (N, 8, F)
             # trilinear weights for the (i, j, k) corner ordering of _CORNERS
             w = jnp.ones(corners.shape[:2], jnp.float32)

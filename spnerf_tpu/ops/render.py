@@ -18,9 +18,19 @@ import jax.numpy as jnp
 
 # perf-experiment escape hatches (measured on hardware; see CLAUDE.md):
 # SPNERF_NO_MERGE=1 re-evaluates the field at all sorted guided samples
-# (reference behavior); SPNERF_NO_PRUNE=1 runs every head in the solar pass.
+# (reference behavior); SPNERF_NO_PRUNE=1 runs every head in the solar pass;
+# SPNERF_BATCH_SC=1 batches the solar-correction pass into the preceding
+# field evaluation (one trunk call at 3x rows). MEASURED SLOWER on the v5e
+# flagship step — 55.2 ms/step vs 51.0 with separate head-pruned passes
+# (round 3): the rgb/sky/sem head compute forced onto the 2S solar rows
+# outweighs the saved pass overhead, so separate passes stay the default.
 _NO_MERGE = _os.environ.get("SPNERF_NO_MERGE") == "1"
 _NO_PRUNE = _os.environ.get("SPNERF_NO_PRUNE") == "1"
+
+
+def _batch_sc_enabled():
+    # read at trace time (not import time) so tests can cover both paths
+    return _os.environ.get("SPNERF_BATCH_SC") == "1"
 
 from ..config import RenderConfig
 from .compositing import composite
@@ -59,6 +69,90 @@ def _eval_field(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems,
     return {k: v.reshape((n_rays, n_samples) + v.shape[1:]) for k, v in out.items()}
 
 
+def _eval_field_cat(field_apply, xyz_sets, sun_d, t_emb, sems, heads=None):
+    """ONE field evaluation over the concatenation of several (R, S_i, 3)
+    point sets that share per-ray sun/t/sem inputs; returns one per-sample
+    dict per set.
+
+    This is the TPU-native fusion of passes whose point sets are known
+    simultaneously (e.g. the guided second pass and the solar-correction
+    pass): instead of two kernel stacks over 64k and 131k rows, XLA sees one
+    matmul stack over the union — larger MXU tiles, half the pass overhead.
+    The reference evaluates each pass separately
+    (/root/reference/modules/rendering.py:166-177)."""
+    n_rays = xyz_sets[0].shape[0]
+    sizes = [x.shape[1] for x in xyz_sets]
+    s_total = sum(sizes)
+    xyz_flat = jnp.concatenate(xyz_sets, axis=1).reshape(-1, 3)
+    sun_flat = jnp.broadcast_to(
+        sun_d[:, None, :], (n_rays, s_total, 3)).reshape(-1, 3)
+    t_flat = (
+        None
+        if t_emb is None
+        else jnp.broadcast_to(
+            t_emb[:, None, :], (n_rays, s_total, t_emb.shape[-1])
+        ).reshape(-1, t_emb.shape[-1])
+    )
+    sem_flat = (
+        None
+        if sems is None
+        else jnp.broadcast_to(sems[:, None], (n_rays, s_total)).reshape(-1)
+    )
+    if heads is None:
+        out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat)
+    else:
+        out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat, heads=heads)
+    out = {k: v.reshape((n_rays, s_total) + v.shape[1:]) for k, v in out.items()}
+    result, ofs = [], 0
+    for s in sizes:
+        result.append({k: v[:, ofs:ofs + s] for k, v in out.items()})
+        ofs += s
+    return result
+
+
+def _sort_perm(z_a, z_b):
+    """Sort permutation for the concatenation of two per-ray z sets.
+
+    Returns (perm, z_sorted, z_unsort) where perm is the (R, out, in) one-hot
+    matrix that maps concatenation order to sorted order (see _merge_sorted
+    for why a matmul rather than take_along_axis)."""
+    z_unsort = jnp.concatenate([z_a, z_b], axis=-1)  # (R, S2)
+    s2 = z_unsort.shape[-1]
+    order = jnp.argsort(z_unsort, axis=-1)  # (R, S2)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s2), 2)
+    perm = jax.lax.stop_gradient(
+        (order[:, :, None] == eye).astype(jnp.float32))  # (R, out, in)
+    z_sorted = jnp.einsum("roi,ri->ro", perm, z_unsort,
+                          precision=jax.lax.Precision.HIGHEST)
+    return perm, z_sorted, z_unsort
+
+
+def _apply_perm(field_a, field_b, perm):
+    """Permute the concatenated per-sample channels of two field dicts into
+    sorted order with one batched one-hot matmul (sem_logits exempt: the
+    compositor mean-pools it, which is permutation-invariant)."""
+    pack_keys = [k for k in field_a if k != "sem_logits"]
+    parts, widths = [], []
+    for k in pack_keys:
+        v = jnp.concatenate([field_a[k], field_b[k]], axis=1)
+        if v.ndim == 2:
+            v = v[..., None]
+        parts.append(v.astype(jnp.float32))
+        widths.append(v.shape[-1])
+    packed = jnp.concatenate(parts, axis=-1)
+    sorted_packed = jnp.einsum("roi,ric->roc", perm, packed,
+                               precision=jax.lax.Precision.HIGHEST)
+    merged, ofs = {}, 0
+    for k, w in zip(pack_keys, widths):
+        v = sorted_packed[..., ofs:ofs + w]
+        ofs += w
+        merged[k] = v[..., 0] if field_a[k].ndim == 2 else v
+    if "sem_logits" in field_a:
+        merged["sem_logits"] = jnp.concatenate(
+            [field_a["sem_logits"], field_b["sem_logits"]], axis=1)
+    return merged
+
+
 def _merge_sorted(field_a, z_a, field_b, z_b):
     """Merge two per-sample field dicts along the sample axis in z-sorted order.
 
@@ -77,39 +171,8 @@ def _merge_sorted(field_a, z_a, field_b, z_b):
     sem_logits is exempt: the compositor mean-pools it over samples, which is
     permutation-invariant, so it stays in concatenation order.
     """
-    z_unsort = jnp.concatenate([z_a, z_b], axis=-1)  # (R, S2)
-    s2 = z_unsort.shape[-1]
-    order = jnp.argsort(z_unsort, axis=-1)  # (R, S2)
-    eye = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s2), 2)
-    perm = jax.lax.stop_gradient(
-        (order[:, :, None] == eye).astype(jnp.float32))  # (R, out, in)
-
-    z_sorted = jnp.einsum("roi,ri->ro", perm, z_unsort,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    # pack all permutable per-sample channels into one (R, S2, C) tensor so a
-    # single batched matmul applies the permutation to everything
-    pack_keys = [k for k in field_a if k != "sem_logits"]
-    parts, widths = [], []
-    for k in pack_keys:
-        v = jnp.concatenate([field_a[k], field_b[k]], axis=1)
-        if v.ndim == 2:
-            v = v[..., None]
-        parts.append(v.astype(jnp.float32))
-        widths.append(v.shape[-1])
-    packed = jnp.concatenate(parts, axis=-1)
-    sorted_packed = jnp.einsum("roi,ric->roc", perm, packed,
-                               precision=jax.lax.Precision.HIGHEST)
-
-    merged, ofs = {}, 0
-    for k, w in zip(pack_keys, widths):
-        v = sorted_packed[..., ofs:ofs + w]
-        ofs += w
-        merged[k] = v[..., 0] if field_a[k].ndim == 2 else v
-    if "sem_logits" in field_a:
-        merged["sem_logits"] = jnp.concatenate(
-            [field_a["sem_logits"], field_b["sem_logits"]], axis=1)
-    return merged, z_sorted, z_unsort
+    perm, z_sorted, z_unsort = _sort_perm(z_a, z_b)
+    return _apply_perm(field_a, field_b, perm), z_sorted, z_unsort
 
 
 def _inference(field_apply, rays_o, ray_dirs, z_vals, sun_d, t_emb, sems,
@@ -186,8 +249,28 @@ def render_rays(
     else:
         z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples,
                                    rc.perturb)
-    field1 = _eval_field(field_apply, rays_o, rays_d, z_vals, sun_d, t_emb,
-                         sems)
+
+    # solar-correction pass batching (opt-in, measured slower — see the
+    # SPNERF_BATCH_SC note at the top): the solar pass evaluates the field at
+    # rays_o + sun_d * z over the FINAL z set, which is known before the last
+    # view-ray field evaluation runs — so both share one batched trunk call
+    # (_eval_field_cat). When guided sampling is on, the final z set (the
+    # sorted merge) depends only on the coarse composite, not on the second
+    # pass's field outputs, so the guided-new points and the solar points
+    # batch together; without guided sampling the coarse and solar points do.
+    batch_sc = (rc.solar_correction and _batch_sc_enabled()
+                and not _NO_PRUNE)
+    sc_field = None  # per-sample {sigma, sun_v} of the solar pass, when batched
+
+    if rc.guidedsample or not batch_sc:
+        field1 = _eval_field(field_apply, rays_o, rays_d, z_vals, sun_d, t_emb,
+                             sems)
+    else:
+        xyz1 = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[:, :, None]
+        xyz_sc = rays_o[:, None, :] + sun_d[:, None, :] * z_vals[:, :, None]
+        field1, sc_all = _eval_field_cat(field_apply, [xyz1, xyz_sc], sun_d,
+                                         t_emb, sems)
+        sc_field = {"sigma": sc_all["sigma"], "sun_v": sc_all["sun_v"]}
     result = composite(field1, z_vals, noise_std=noise_std, key=get("noise0"))
 
     if rc.guidedsample:
@@ -213,6 +296,24 @@ def render_rays(
                 field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
                 noise_std, get("noise1"),
             )
+        elif batch_sc:
+            # evaluate the field once over BOTH the new guided samples
+            # (view-ray points, all heads) and the solar points at the merged
+            # z set (which needs only the coarse composite + the argsort) —
+            # one trunk call at 3x the coarse row count instead of two
+            perm, z_sorted, z_vals_unsort = _sort_perm(result["z_vals"],
+                                                       z_vals_2)
+            xyz2 = (rays_o[:, None, :]
+                    + rays_d[:, None, :] * z_vals_2[:, :, None])
+            xyz_sc = (rays_o[:, None, :]
+                      + sun_d[:, None, :] * z_sorted[:, :, None])
+            field2, sc_all = _eval_field_cat(field_apply, [xyz2, xyz_sc],
+                                             sun_d, t_emb, sems)
+            sc_field = {"sigma": sc_all["sigma"], "sun_v": sc_all["sun_v"]}
+            field_all = _apply_perm(field1, field2, perm)
+            z_vals = z_sorted
+            result = composite(field_all, z_vals, noise_std=noise_std,
+                               key=get("noise1"))
         else:
             # evaluate the field only at the NEW guided samples; the
             # coarse-pass outputs are merged in by sort permutation
@@ -229,12 +330,18 @@ def render_rays(
         # secondary pass along the sun direction: only sigma (stop-gradient
         # through weights/transparency) and sun_v are consumed by the solar
         # loss terms (train/losses.py solar_correction_terms), so the rgb /
-        # sky / sem / beta heads are pruned from this pass
-        sc = _inference(
-            field_apply, rays_o, sun_d, z_vals, sun_d, t_emb, sems,
-            noise_std, get("sc_noise"),
-            heads=None if _NO_PRUNE else ("sun",),
-        )
+        # sky / sem / beta heads are pruned from this pass — unless the pass
+        # was batched into the previous field call (sc_field), where pruning
+        # is impossible but the kernel count halves
+        if sc_field is not None:
+            sc = composite(sc_field, z_vals, noise_std=noise_std,
+                           key=get("sc_noise"))
+        else:
+            sc = _inference(
+                field_apply, rays_o, sun_d, z_vals, sun_d, t_emb, sems,
+                noise_std, get("sc_noise"),
+                heads=None if _NO_PRUNE else ("sun",),
+            )
         result["weights_sc"] = sc["weights"]
         result["transparency_sc"] = sc["transparency"]
         result["sun_sc"] = sc["sun"]

@@ -113,9 +113,9 @@ class Trainer:
         from ..models import load_model
 
         dtype = jnp.bfloat16 if rc.compute_dtype == "bfloat16" else jnp.float32
-        # hash lookup impl comes from mc.hash_impl ("auto" -> plain XLA
-        # autodiff, the fastest measured on the v5e; --hash_impl selects
-        # sorted_vjp / fused_vjp variants)
+        # hash lookup impl comes from mc.hash_impl ("auto" -> matmul_vjp on
+        # accelerators: the factorized one-hot MXU backward, +26% integrated
+        # on the v5e; --hash_impl selects xla / sorted_vjp / fused_vjp)
         self.model = load_model(mc, dtype)
         self.fine_model = (load_model(mc, dtype)
                            if rc.n_importance > 0 else None)

@@ -136,6 +136,46 @@ def test_restructured_vjp_hash_encode_matches_xla(rng, impl):
                                rtol=1e-4, atol=1e-4 * np.abs(ref).max())
 
 
+def test_matmul_vjp_hash_encode_matches_xla(rng, monkeypatch):
+    """matmul_vjp: the backward scatter-add re-expressed as a factorized
+    one-hot matmul. In f32 operand mode it must match the plain-autodiff
+    table gradient to float tolerance; in the default bf16 operand mode
+    (MXU path shipped on TPU) the cotangent rows round to bf16 before the
+    f32-accumulating matmul, so the match is at bf16 resolution."""
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
+    kw = dict(n_levels=4, n_features=2, log2_table_size=12,
+              base_resolution=4, max_resolution=64)
+    enc_x = HashGridEncoding(impl="xla", **kw)
+    enc_m = HashGridEncoding(impl="matmul_vjp", **kw)
+    params = enc_x.init(jax.random.PRNGKey(0), xyz)
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+
+    out_x = enc_x.apply(params, xyz)
+    out_m = enc_m.apply(params, xyz)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_x),
+                               rtol=1e-6, atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=out_x.shape).astype(np.float32))
+
+    def loss(enc, p, x):
+        return jnp.sum(enc.apply(p, x) * g)
+
+    gx_t = jax.grad(lambda p: loss(enc_x, p, xyz))(params)
+    gx = np.asarray(gx_t["params"]["table"])
+
+    monkeypatch.setenv("SPNERF_HASH_MATMUL_F32", "1")
+    gm_f32 = np.asarray(jax.grad(lambda p: loss(enc_m, p, xyz))(params)
+                        ["params"]["table"])
+    np.testing.assert_allclose(gm_f32, gx, rtol=1e-5, atol=1e-5)
+
+    monkeypatch.delenv("SPNERF_HASH_MATMUL_F32")
+    jax.clear_caches()  # the env var is read at trace time
+    gm_bf16 = np.asarray(jax.grad(lambda p: loss(enc_m, p, xyz))(params)
+                         ["params"]["table"])
+    np.testing.assert_allclose(gm_bf16, gx, rtol=2e-2,
+                               atol=2e-2 * np.abs(gx).max())
+
+
 def test_fused_vjp_hash_field_trains(rng):
     """HashSPNeRF with the restructured-VJP encoding trains: grads flow into
     the table through the custom VJP inside the full renderer+loss graph."""

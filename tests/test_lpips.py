@@ -122,3 +122,30 @@ def test_lpips_golden_value(synth_weights):
                              img1.astype(np.float32), dict(np.load(synth_weights)))
     assert val == pytest.approx(torch_val, rel=1e-4)
     assert 0.0 < val < 10.0
+
+
+def test_lpips_weight_spec_validation(tmp_path, rng):
+    """load_weights enforces the documented .npz contract (weight_spec):
+    missing keys and wrong shapes fail loudly instead of computing garbage."""
+    import pytest
+
+    from spnerf_tpu.evaluation.lpips import load_weights, weight_spec
+
+    spec = weight_spec()
+    good = {k: rng.normal(size=s).astype(np.float32) for k, s in spec.items()}
+
+    p1 = tmp_path / "missing.npz"
+    np.savez(p1, **{k: v for k, v in good.items() if k != "lin2_w"})
+    with pytest.raises(ValueError, match="missing keys.*lin2_w"):
+        load_weights(str(p1))
+
+    p2 = tmp_path / "badshape.npz"
+    bad = dict(good)
+    bad["conv1_w"] = bad["conv1_w"][:, :32]
+    np.savez(p2, **bad)
+    with pytest.raises(ValueError, match="conv1_w"):
+        load_weights(str(p2))
+
+    p3 = tmp_path / "ok.npz"
+    np.savez(p3, **good)
+    assert load_weights(str(p3)) is not None
