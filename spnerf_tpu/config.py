@@ -48,6 +48,9 @@ class ModelConfig:
     hash_log2T: int = 19
     hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "matmul_vjp" | "fused_vjp"
     hash_frames: int = 1  # disjoint multi-AOI frames (data/multi.py)
+    # NGP direct (collision-free) indexing for levels whose dense grid fits
+    # the table; False reproduces round<=2 checkpoints (hash everywhere)
+    hash_direct_coarse: bool = True
 
 
 @dataclass(frozen=True)
@@ -211,6 +214,10 @@ def build_train_parser():
                         " sorted scatter-add (sorted_vjp), factorized one-hot"
                         " MXU matmul (matmul_vjp), or one flat scatter across"
                         " levels (fused_vjp)")
+    p.add_argument("--no_hash_direct_coarse", action="store_true",
+                   help="hash every level even when the dense grid fits the "
+                        "table (pre-round-3 behavior; needed to evaluate "
+                        "checkpoints trained before direct coarse indexing)")
     p.add_argument("--proposal", action="store_true",
                    help="density-only proposal network places the main "
                         "field's samples (interlevel loss)")
@@ -285,6 +292,7 @@ def model_config_from_args(args) -> ModelConfig:
         hash_features=getattr(args, "hash_features", 4),
         hash_log2T=getattr(args, "hash_log2T", 19),
         hash_impl=getattr(args, "hash_impl", "auto"),
+        hash_direct_coarse=not getattr(args, "no_hash_direct_coarse", False),
         # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
         # resolution in its own pseudo-table (models/hashgrid.py frames)
         hash_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")

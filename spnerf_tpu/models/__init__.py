@@ -37,6 +37,8 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
                           n_features=getattr(cfg, "hash_features", 2),
                           log2_table_size=getattr(cfg, "hash_log2T", 19),
                           frames=getattr(cfg, "hash_frames", 1),
+                          direct_coarse=getattr(cfg, "hash_direct_coarse",
+                                                True),
                           enc_impl=impl)
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 

@@ -184,6 +184,16 @@ class HashGridEncoding(nn.Module):
     base_resolution: int = 16
     max_resolution: int = 2048
     impl: str = "xla"
+    # Instant-NGP convention (Mueller et al. 2022 sec. 3): levels whose dense
+    # grid fits the table budget ((res+1)^3 <= T) index it DIRECTLY (linear
+    # corner index into the first next_pow2((res+1)^3) rows) instead of
+    # hashing — collision-free, and the smaller effective table makes the
+    # backward cheaper for exactly the levels with the highest duplication
+    # factor: scatter rows land in a hotter table (xla/sorted_vjp) and the
+    # factorized one-hot matmul's FLOPs scale with T_eff (matmul_vjp, ~23%
+    # dtab FLOP cut at the default 8x4 geometry). Disable to reproduce
+    # round<=2 checkpoints (same param shapes, different row usage).
+    direct_coarse: bool = True
     # number of disjoint multi-AOI frames along x (data/multi.py translates
     # AOI k by k * FRAME_SPACING). Each frame is hashed at FULL resolution in
     # its own pseudo-table (frame index XORed into the hash) — without this,
@@ -220,7 +230,14 @@ class HashGridEncoding(nn.Module):
 
         x01 = jnp.clip((xyz + 1.0) * 0.5, 0.0, 1.0)
 
-        if self.impl == "fused_vjp" and frame is None:
+        # fused_vjp hashes EVERY level in one flat program, so it is only a
+        # valid implementation of this module when no level uses direct
+        # (collision-free) indexing; otherwise fall through to the per-level
+        # loop (plain-autodiff take), keeping impl a pure implementation
+        # choice rather than a function change
+        any_direct = self.direct_coarse and any(
+            (int(r) + 1) ** 3 <= T for r in resolutions)
+        if self.impl == "fused_vjp" and frame is None and not any_direct:
             from ..ops.pallas.hash_enc import hash_encode
 
             return hash_encode(x01, table,
@@ -234,11 +251,28 @@ class HashGridEncoding(nn.Module):
             frac = xs - x0  # (N, 3)
             base = x0.astype(jnp.uint32)  # (N, 3)
             corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
-            idx = _hash_coords(corners, T, frame)  # (N, 8)
+            side = res + 1  # dense grid has res cells -> res+1 corners/axis
+            n_frames = self.frames if frame is not None else 1
+            if self.direct_coarse and side ** 3 * n_frames <= T:
+                # collision-free linear index (one dense side^3 block per
+                # multi-AOI frame); the slice to the pow2-padded dense size
+                # keeps matmul_vjp's factorization valid and its VJP
+                # zero-pads dtab back to (T, F) for free. Frame 0 is
+                # bit-identical to the frames=1 encoding.
+                t_eff = 1 << int(np.ceil(np.log2(side ** 3 * n_frames)))
+                lin = ((corners[..., 0] * side + corners[..., 1]) * side
+                       + corners[..., 2])  # (N, 8)
+                if frame is not None:
+                    lin = lin + frame * np.uint32(side ** 3)
+                idx = lin.astype(jnp.int32)
+                tab_l = table[l][:t_eff]
+            else:
+                idx = _hash_coords(corners, T, frame)  # (N, 8)
+                tab_l = table[l]
             take = {"sorted_vjp": _take_sorted,
                     "matmul_vjp": _take_matmul}.get(
                         self.impl, lambda t, i: jnp.take(t, i, axis=0))
-            vals = take(table[l], idx)  # (N, 8, F)
+            vals = take(tab_l, idx)  # (N, 8, F)
             # trilinear weights for the (i, j, k) corner ordering of _CORNERS
             w = jnp.ones(corners.shape[:2], jnp.float32)
             for d in range(3):
@@ -261,6 +295,7 @@ class HashSPNeRF(nn.Module):
     hidden: int = 64
     enc_impl: str = "xla"  # forwarded to HashGridEncoding.impl
     frames: int = 1  # multi-AOI frames (HashGridEncoding.frames)
+    direct_coarse: bool = True  # HashGridEncoding.direct_coarse
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
@@ -275,7 +310,7 @@ class HashSPNeRF(nn.Module):
         enc = HashGridEncoding(
             n_levels=self.n_levels, n_features=self.n_features,
             log2_table_size=self.log2_table_size, impl=self.enc_impl,
-            frames=self.frames,
+            frames=self.frames, direct_coarse=self.direct_coarse,
         )(xyz)
 
         x_in = enc

@@ -106,8 +106,9 @@ def test_restructured_vjp_hash_encode_matches_xla(rng, impl):
     sort-then-sorted-scatter backward) are bit-compatible with the
     plain-autodiff path: same forward, same table and position gradients."""
     xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
+    # direct_coarse=False: fused_vjp implements the hash-every-level function
     kw = dict(n_levels=4, n_features=2, log2_table_size=12,
-              base_resolution=4, max_resolution=64)
+              base_resolution=4, max_resolution=64, direct_coarse=False)
     enc_x = HashGridEncoding(impl="xla", **kw)
     enc_p = HashGridEncoding(impl=impl, **kw)
     params = enc_x.init(jax.random.PRNGKey(0), xyz)
@@ -174,6 +175,64 @@ def test_matmul_vjp_hash_encode_matches_xla(rng, monkeypatch):
                          ["params"]["table"])
     np.testing.assert_allclose(gm_bf16, gx, rtol=2e-2,
                                atol=2e-2 * np.abs(gx).max())
+
+
+def test_direct_coarse_matches_dense_trilinear_oracle(rng):
+    """Levels whose dense grid fits the table use collision-free direct
+    indexing (NGP convention, round 3): the encoding must equal a brute-force
+    numpy trilinear interpolation of the table rows laid out as a dense
+    (side, side, side) grid."""
+    L, F, log2T = 2, 2, 12
+    enc = HashGridEncoding(n_levels=L, n_features=F, log2_table_size=log2T,
+                           base_resolution=4, max_resolution=8)
+    xyz = rng.uniform(-1, 1, size=(257, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(xyz))
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+    out = np.asarray(enc.apply(params, jnp.asarray(xyz)))
+
+    tab = np.asarray(params["params"]["table"])  # (L, T, F)
+    b = np.exp((np.log(8) - np.log(4)) / (L - 1))
+    x01 = np.clip((xyz + 1.0) * 0.5, 0.0, 1.0)
+    for l in range(L):
+        res = int(np.floor(4 * b ** l))
+        side = res + 1
+        assert side ** 3 <= 2 ** log2T  # this level must be direct-indexed
+        grid = tab[l][: side ** 3].reshape(side, side, side, F)
+        xs = x01 * res
+        x0 = np.floor(xs).astype(np.int64)
+        f = xs - x0
+        expect = np.zeros((xyz.shape[0], F), np.float32)
+        for ci in (0, 1):
+            for cj in (0, 1):
+                for ck in (0, 1):
+                    w = (np.where(ci, f[:, 0], 1 - f[:, 0])
+                         * np.where(cj, f[:, 1], 1 - f[:, 1])
+                         * np.where(ck, f[:, 2], 1 - f[:, 2]))
+                    expect += (w[:, None]
+                               * grid[x0[:, 0] + ci, x0[:, 1] + cj,
+                                      x0[:, 2] + ck])
+        np.testing.assert_allclose(out[:, l * F:(l + 1) * F], expect,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_direct_coarse_toggle_changes_coarse_levels_only(rng):
+    """direct_coarse=False reproduces the hash-everywhere encoding: fine
+    (hashed) levels are identical between the two modes, coarse levels
+    differ (different row addressing), and gradients flow in both."""
+    kw = dict(n_levels=3, n_features=2, log2_table_size=10,
+              base_resolution=4, max_resolution=256)
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(100, 3)).astype(np.float32))
+    enc_d = HashGridEncoding(direct_coarse=True, **kw)
+    enc_h = HashGridEncoding(direct_coarse=False, **kw)
+    params = enc_d.init(jax.random.PRNGKey(0), xyz)
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+    out_d = np.asarray(enc_d.apply(params, xyz))
+    out_h = np.asarray(enc_h.apply(params, xyz))
+    # levels: res 4 (125 cells, direct), 32 (35937 > 1024, hashed), 256
+    assert np.abs(out_d[:, :2] - out_h[:, :2]).max() > 0  # coarse differs
+    np.testing.assert_allclose(out_d[:, 2:], out_h[:, 2:], rtol=0, atol=0)
+    g = jax.grad(lambda p: jnp.sum(enc_d.apply(p, xyz) ** 2))(params)
+    assert np.any(np.asarray(g["params"]["table"]) != 0)
 
 
 def test_fused_vjp_hash_field_trains(rng):
