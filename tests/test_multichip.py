@@ -90,12 +90,18 @@ def test_mesh_eval_render_matches_single_device(mesh8, rng, monkeypatch):
                                    err_msg=k)
 
 
-def test_hash_train_under_mesh(mesh8, rng):
+@pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
+def test_hash_train_under_mesh(mesh8, rng, impl):
     """Hash-encoding train step (gather forward, scatter-add backward) under
-    shard_map + pmean: the sparse VJP must compose with the collective. Also
+    shard_map + pmean: the sparse VJP must compose with the collective —
+    including the matmul_vjp custom VJP that ships as the accelerator
+    default (models/__init__.py), which otherwise only runs on CPU when
+    explicitly selected. log2T=13 makes level 0 direct-indexed
+    ((16+1)^3 <= 8192), so the direct+hashed mix is exercised too. Also
     checks equivalence of the mesh scan vs stepwise for the hash config."""
     mc = ModelConfig(fc_units=32, fc_layers=2, skips=(), encoding="hash",
-                     hash_levels=4, hash_features=2, hash_log2T=10)
+                     hash_levels=4, hash_features=2, hash_log2T=13,
+                     hash_impl=impl)
     rc = RenderConfig(n_samples=6, compute_dtype="float32")
     lc = LossConfig()
     data_host = _fake_data(rng, n=2048)
