@@ -40,10 +40,12 @@ def main():
     # synthetic scene resident on device (data content does not affect timing)
     data = {k: jax.numpy.asarray(v)
             for k, v in _fake_batch(np.random.default_rng(0), 65536).items()}
-    # one dispatch drives a whole 25-step window via lax.scan: per-step host
+    # one dispatch drives a whole 100-step window via lax.scan: per-step host
     # dispatch latency (large through tunneled runtimes) is fully amortized,
-    # and a host fetch of the loss is an unambiguous sync point
-    n_inner = 25
+    # and a host fetch of the loss is an unambiguous sync point. Window sweep
+    # on the v5e (round 3): 25 -> 19,920 rays/s, 50 -> 20,246, 100 -> 20,394
+    # (batch 2048 is worse at every window; matches the round-1 batch sweep)
+    n_inner = 100
     run = tr.build_train_scan(batch_size, n_inner)
     key = jax.random.PRNGKey(1)
 

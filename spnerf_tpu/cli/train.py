@@ -262,7 +262,16 @@ def _watchdog_supervise(args, argv):
                   flush=True)
         child = subprocess.Popen(cmd, env=env)
         last_progress = time.time()
-        last_mtime = None
+        # startup (imports, data load, checkpoint restore, first-window
+        # compile) writes no metrics: give it a 3x grace so the watchdog can
+        # be sized for the STEADY-STATE window cadence instead of the
+        # worst-case cold compile, and so a loaded host doesn't kill children
+        # mid-startup in a loop (observed as a flaky CI failure)
+        try:
+            last_mtime = os.path.getmtime(metrics_path)
+        except OSError:
+            last_mtime = None
+        progressed = False
         killed = False
         while True:
             rc = child.poll()
@@ -275,8 +284,10 @@ def _watchdog_supervise(args, argv):
             if mtime is not None and mtime != last_mtime:
                 last_mtime = mtime
                 last_progress = time.time()
-            if time.time() - last_progress > args.watchdog:
-                print(f"[watchdog] no progress for {args.watchdog}s; "
+                progressed = True
+            limit = args.watchdog if progressed else 3 * args.watchdog
+            if time.time() - last_progress > limit:
+                print(f"[watchdog] no progress for {limit}s; "
                       f"killing pid {child.pid}", flush=True)
                 child.kill()
                 child.wait()

@@ -101,8 +101,22 @@ def _matmul_dtab(ids, ct, T, F):
     """scatter-add equivalent: (M,) int32 ids, (M, F) f32 ct -> (T, F) f32."""
     import os
 
-    dtype = (jnp.float32 if os.environ.get("SPNERF_HASH_MATMUL_F32") == "1"
-             else jnp.bfloat16)
+    f32 = os.environ.get("SPNERF_HASH_MATMUL_F32") == "1"
+    # On TPU the one-hot operands can be generated in VMEM and fed straight
+    # to the MXU instead of materializing in HBM (ops/pallas/dtab.py);
+    # SPNERF_HASH_MATMUL_PALLAS=0 forces the XLA fallback for A/B timing
+    from ..ops.pallas.dtab import LANES, dtab_pallas
+
+    use_pallas = (os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
+                  and jax.default_backend() not in ("cpu",)
+                  and F in (1, 2, 4, 8) and T % (LANES // F) == 0)
+    if use_pallas:
+        # f32 operands measured FASTER in-kernel (65 vs 29.5 TFLOP/s at
+        # T=2^19: the bf16 one-hot cast/multiply costs more on the VPU than
+        # the MXU saves) — the opposite of the XLA path below
+        return dtab_pallas(ids, ct.astype(jnp.float32), T, F, f32=True)
+
+    dtype = jnp.float32 if f32 else jnp.bfloat16
     # g per block is block*B*F bytes in bf16: 32768 rows at B=512, F=4 is
     # 128 MB of fused intermediate — fine for a 16 GB chip, and the scan
     # keeps it out of simultaneous-liveness with the training buffers.

@@ -85,3 +85,19 @@ def test_unsupported_configs_fall_back():
     assert not supports_config(ModelConfig(siren=False))
     assert not supports_config(ModelConfig(skips=()))
     assert not supports_config(ModelConfig(encoding="hash"))
+
+
+def test_dtab_pallas_matches_scatter(rng):
+    """ops/pallas/dtab: the MXU one-hot matmul == scatter-add, across table
+    sizes incl. non-square splits, F widths, and a padded (non-multiple-of-
+    MBLK) row count (interpret mode; on-TPU timing in CLAUDE.md round 3)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_pallas
+
+    for T, F, M in [(2048, 4, 5000), (4096, 2, 3000), (1024, 8, 1025),
+                    (512, 4, 700)]:
+        ids = jnp.asarray(rng.integers(0, T, M).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(M, F)).astype(np.float32))
+        ref = jnp.zeros((T, F), jnp.float32).at[ids].add(ct)
+        out = dtab_pallas(ids, ct, T, F, f32=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, err_msg=f"T={T} F={F} M={M}")
