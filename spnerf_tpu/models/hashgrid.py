@@ -105,12 +105,20 @@ def _matmul_dtab(ids, ct, T, F):
     # On TPU the one-hot operands can be generated in VMEM and fed straight
     # to the MXU instead of materializing in HBM (ops/pallas/dtab.py);
     # SPNERF_HASH_MATMUL_PALLAS=0 forces the XLA fallback for A/B timing
-    from ..ops.pallas.dtab import LANES, dtab_pallas
+    from ..ops.pallas.dtab import LANES, MBLK, WIN, dtab_pallas
+    from ..ops.pallas.dtab import dtab_sorted_window
 
     use_pallas = (os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
                   and jax.default_backend() not in ("cpu",)
                   and F in (1, 2, 4, 8) and T % (LANES // F) == 0)
     if use_pallas:
+        A = T // (LANES // F)
+        # sorted-window path when the dense kernel's FLOP surplus (A vs
+        # 2*WIN one-hot rows) dwarfs the sort cost AND blocks of sorted rows
+        # span well under one window (mean span = A*MBLK/M <= WIN/4)
+        if (os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
+                and A >= 16 * WIN and ids.shape[0] * WIN >= 4 * A * MBLK):
+            return dtab_sorted_window(ids, ct.astype(jnp.float32), T, F)
         # f32 operands measured FASTER in-kernel (65 vs 29.5 TFLOP/s at
         # T=2^19: the bf16 one-hot cast/multiply costs more on the VPU than
         # the MXU saves) — the opposite of the XLA path below

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 1024  # lane width of the (A, F*B) output tile: B = LANES // F
 MBLK = 1024  # index rows per grid step
 TA = 256  # output rows per grid step (capped to A when A is smaller)
+WIN = 16  # sorted-window path: one-hot window width in A-rows per block
 
 
 def _kernel(ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F, ta, dtype):
@@ -110,3 +111,120 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False):
     )(ids.reshape(1, mp), ids.reshape(mp, 1), ct)
     # out[a, f*B + b] = dtab[a*B + b, f]
     return out.reshape(A, F, B).transpose(0, 2, 1).reshape(T, F)
+
+
+# ------------------------------------------------------------- sorted window
+# The dense kernel above runs at ~158 TFLOP/s in-context (per the round-3
+# profile: 28 ms per 1M rows at T=2^19) — near the MXU ceiling — yet the hash
+# backward still dominates the depth-supervised step (335 of 535 ms) because
+# dense FLOPs are M*T*F*2: ~54 TFLOP per step. The remaining lever is a FLOP
+# CUT, not a faster matmul. Sorting the rows by id makes the one-hot matmix
+# nearly block-diagonal: an MBLK-row block of SORTED ids spans only
+# ~A*MBLK/M one-hot rows (2-4 here), so each block needs a (WIN, m) x
+# (m, B*F) dot against a narrow WINDOW of the table instead of all A rows —
+# an A/(2*WIN) = 64x FLOP cut at T=2^19. Exactness: each block is evaluated
+# against the two aligned windows [w_j, w_j+2)*WIN covering its first row;
+# rows beyond that (possible only for severely skewed ids — the spatial hash
+# whitens them) are detected host-free and added by a lax.cond scatter-add
+# fallback that compiles in but executes only when the tail is non-empty.
+# A sorted SCATTER does not get the same benefit: measured in-context the
+# full step is 724.6 ms (sorted_vjp) / 693.3 (plain scatter) / 541.9 (dense
+# matmul) — the scatter stays row-latency-bound even on sorted indices.
+#
+# Measured (v5e, full sp-nerf hash config w/ depth supervision, T=2^19,
+# batch 1024): 294.6 ms/step (3476 rays/s) vs 541.0 dense-pallas (1893) vs
+# 551.9 XLA factorized matmul (1856) — 1.84x integrated. Standalone
+# (M=1M, T=2^19, F=4) it only TIES the XLA matmul (39.5 vs 36.8 ms): alone,
+# the sort + per-block grid overhead eat the FLOP cut; in context the dense
+# paths' 54 TFLOP/step of table matmuls are the step's critical resource
+# while the sort rides the VPU/HBM alongside other work.
+
+
+def _win_kernel(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F,
+                dtype):
+    k = pl.program_id(0)  # which of the two candidate windows
+    j = pl.program_id(1)  # row block
+    base = (w_ref[j] + k) * WIN
+    ia = ids_row_ref[:] // B - base  # (1, m) window-relative one-hot rows
+    ib = ids_col_ref[:] % B  # (m, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WIN, MBLK), 0)
+    oh = (rows == ia).astype(dtype)  # (WIN, m); rows outside [0, WIN) -> 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (MBLK, B), 1)
+    oh_b = (ib == cols).astype(dtype)  # (m, B)
+    ct = ct_ref[:]
+    for f in range(F):
+        g = oh_b * ct[:, f:f + 1].astype(dtype)
+        out_ref[0, 0, :, f * B:(f + 1) * B] = jnp.dot(
+            oh, g, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "F", "interpret"))
+def dtab_sorted_window(ids, ct, T, F, interpret=False):
+    """Exact scatter-add equivalent, FLOP-reduced: sort rows by id, evaluate
+    each MBLK block against the 2 aligned WIN-wide one-hot windows covering
+    its leading row, scatter the per-block (WIN, B*F) partials at TILE
+    granularity, and fix any overflow tail with a conditional scatter-add.
+
+    Callers should gate on A = T*F/LANES >= ~16*WIN (below that the dense
+    kernel's FLOP surplus is too small to pay for the sort)."""
+    B = LANES // F
+    A = T // B
+    assert T % B == 0 and A % WIN == 0, (T, F)
+    M = ids.shape[0]
+    pad = (-M) % MBLK
+    if pad:  # pad with the largest id so sorted order puts them last
+        ids = jnp.concatenate(
+            [ids, jnp.full((pad,), T - 1, ids.dtype)])
+        ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
+    mp = M + pad
+    nm = mp // MBLK
+    ct = ct.astype(jnp.float32)
+
+    ops = jax.lax.sort((ids.astype(jnp.int32),)
+                       + tuple(ct[:, j] for j in range(F)), num_keys=1)
+    ids_s = ops[0]
+    ct_s = jnp.stack(ops[1:], axis=-1)
+    ia = ids_s // B
+    w = ia[::MBLK] // WIN  # (nm,) leading window index per block
+    tail = (ia.reshape(nm, MBLK)
+            >= (w[:, None] + 2) * WIN).reshape(-1)  # rows neither window sees
+
+    partials = pl.pallas_call(
+        functools.partial(_win_kernel, B=B, F=F, dtype=jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(2, nm),
+            in_specs=[
+                pl.BlockSpec((1, MBLK), lambda k, j, w_ref: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MBLK, 1), lambda k, j, w_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MBLK, F), lambda k, j, w_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, WIN, F * B),
+                                   lambda k, j, w_ref: (k, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, nm, WIN, F * B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * mp * WIN * B * F,
+            bytes_accessed=2 * mp * (4 + 4 + 4 * F)
+            + 2 * nm * WIN * F * B * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w.astype(jnp.int32), ids_s.reshape(1, mp), ids_s.reshape(mp, 1), ct_s)
+
+    # tile-granular accumulation: 2*nm scatter rows of (WIN, F*B) each
+    widx = jnp.concatenate([w, w + 1])  # w+1 may equal A//WIN: one pad row
+    aw = jnp.zeros((A // WIN + 1, WIN, F * B), jnp.float32)
+    aw = aw.at[widx].add(partials.reshape(2 * nm, WIN, F * B))
+    out = aw[:A // WIN].reshape(A, F, B)
+    dtab = out.transpose(0, 2, 1).reshape(T, F)
+
+    def with_tail(_):
+        t_ct = jnp.where(tail[:, None], ct_s, 0.0)
+        return dtab + jnp.zeros((T, F), jnp.float32).at[ids_s].add(t_ct)
+
+    return jax.lax.cond(jnp.any(tail), with_tail, lambda _: dtab, None)

@@ -101,3 +101,31 @@ def test_dtab_pallas_matches_scatter(rng):
         out = dtab_pallas(ids, ct, T, F, f32=True, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, err_msg=f"T={T} F={F} M={M}")
+
+
+def test_dtab_sorted_window_matches_scatter(rng):
+    """ops/pallas/dtab sorted-window path == scatter-add: uniform ids, skewed
+    ids that force the tail scatter fallback, non-MBLK-multiple row counts,
+    and ids concentrated in the last window (interpret mode)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window
+
+    cases = []
+    T, F, M = 2 ** 15, 4, 70000
+    ids = rng.integers(0, T, M)
+    cases.append((T, F, jnp.asarray(ids.astype(np.int32))))
+    skew = ids.copy()
+    skew[: M // 2] = rng.integers(0, 64, M // 2)  # block spans >2 windows
+    cases.append((T, F, jnp.asarray(skew.astype(np.int32))))
+    cases.append((2 ** 14, 2, jnp.asarray(
+        rng.integers(0, 2 ** 14, 5000).astype(np.int32))))  # padded rows
+    cases.append((2 ** 13, 8, jnp.asarray(
+        rng.integers(0, 2 ** 13, 4097).astype(np.int32))))
+    cases.append((2 ** 14, 4, jnp.asarray(
+        rng.integers(2 ** 14 - 200, 2 ** 14, 3000).astype(np.int32))))
+
+    for T, F, idsj in cases:
+        ct = jnp.asarray(rng.normal(size=(idsj.shape[0], F)).astype(np.float32))
+        ref = jnp.zeros((T, F), jnp.float32).at[idsj].add(ct)
+        out = dtab_sorted_window(idsj, ct, T, F, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, err_msg=f"T={T} F={F}")
