@@ -141,85 +141,100 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False):
 
 
 def _win_kernel(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F,
-                dtype):
-    k = pl.program_id(0)  # which of the two candidate windows
-    j = pl.program_id(1)  # row block
-    base = (w_ref[j] + k) * WIN
+                mblk, dtype):
+    j = pl.program_id(0)  # row block; both WIN-windows evaluated in one dot
+    base = w_ref[j] * WIN
     ia = ids_row_ref[:] // B - base  # (1, m) window-relative one-hot rows
     ib = ids_col_ref[:] % B  # (m, 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WIN, MBLK), 0)
-    oh = (rows == ia).astype(dtype)  # (WIN, m); rows outside [0, WIN) -> 0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (MBLK, B), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WIN, mblk), 0)
+    oh = (rows == ia).astype(dtype)  # (2W, m); rows outside [0, 2W) -> 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mblk, B), 1)
     oh_b = (ib == cols).astype(dtype)  # (m, B)
     ct = ct_ref[:]
     for f in range(F):
         g = oh_b * ct[:, f:f + 1].astype(dtype)
-        out_ref[0, 0, :, f * B:(f + 1) * B] = jnp.dot(
+        out_ref[0, :, f * B:(f + 1) * B] = jnp.dot(
             oh, g, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "F", "interpret"))
-def dtab_sorted_window(ids, ct, T, F, interpret=False):
+@functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret"))
+def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
     """Exact scatter-add equivalent, FLOP-reduced: sort rows by id, evaluate
-    each MBLK block against the 2 aligned WIN-wide one-hot windows covering
-    its leading row, scatter the per-block (WIN, B*F) partials at TILE
-    granularity, and fix any overflow tail with a conditional scatter-add.
+    each mblk block against the aligned 2*WIN-wide one-hot window covering
+    its leading row (one (2W, m) x (m, B*F) dot per block), scatter the
+    per-block partials at WIN-tile granularity, and fix any overflow tail
+    with a conditional scatter-add.
 
     Callers should gate on A = T*F/LANES >= ~16*WIN (below that the dense
     kernel's FLOP surplus is too small to pay for the sort)."""
+    import os
+
+    if mblk is None:
+        mblk = int(os.environ.get("SPNERF_HASH_SW_MBLK", MBLK))
     B = LANES // F
     A = T // B
     assert T % B == 0 and A % WIN == 0, (T, F)
     M = ids.shape[0]
-    pad = (-M) % MBLK
+    pad = (-M) % mblk
     if pad:  # pad with the largest id so sorted order puts them last
         ids = jnp.concatenate(
             [ids, jnp.full((pad,), T - 1, ids.dtype)])
         ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
     mp = M + pad
-    nm = mp // MBLK
+    nm = mp // mblk
     ct = ct.astype(jnp.float32)
 
-    ops = jax.lax.sort((ids.astype(jnp.int32),)
-                       + tuple(ct[:, j] for j in range(F)), num_keys=1)
-    ids_s = ops[0]
-    ct_s = jnp.stack(ops[1:], axis=-1)
+    # the payload rides the sort: an argsort + take(perm) variant was
+    # measured SLOWER integrated (366 vs 295 ms/step at T=2^19 — the (M, F)
+    # row gather is itself row-latency-bound), so the F value columns are
+    # carried as sort operands instead
+    if os.environ.get("SPNERF_HASH_SW_ARGSORT", "0") == "1":
+        ids_s, perm = jax.lax.sort(
+            (ids.astype(jnp.int32), jnp.arange(mp, dtype=jnp.int32)),
+            num_keys=1)
+        ct_s = jnp.take(ct, perm, axis=0)
+    else:
+        ops = jax.lax.sort((ids.astype(jnp.int32),)
+                           + tuple(ct[:, j] for j in range(F)), num_keys=1)
+        ids_s = ops[0]
+        ct_s = jnp.stack(ops[1:], axis=-1)
     ia = ids_s // B
-    w = ia[::MBLK] // WIN  # (nm,) leading window index per block
-    tail = (ia.reshape(nm, MBLK)
-            >= (w[:, None] + 2) * WIN).reshape(-1)  # rows neither window sees
+    w = ia[::mblk] // WIN  # (nm,) leading window index per block
+    tail = (ia.reshape(nm, mblk)
+            >= (w[:, None] + 2) * WIN).reshape(-1)  # rows the window misses
 
     partials = pl.pallas_call(
-        functools.partial(_win_kernel, B=B, F=F, dtype=jnp.float32),
+        functools.partial(_win_kernel, B=B, F=F, mblk=mblk,
+                          dtype=jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(2, nm),
+            grid=(nm,),
             in_specs=[
-                pl.BlockSpec((1, MBLK), lambda k, j, w_ref: (0, j),
+                pl.BlockSpec((1, mblk), lambda j, w_ref: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((MBLK, 1), lambda k, j, w_ref: (j, 0),
+                pl.BlockSpec((mblk, 1), lambda j, w_ref: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((MBLK, F), lambda k, j, w_ref: (j, 0),
+                pl.BlockSpec((mblk, F), lambda j, w_ref: (j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, WIN, F * B),
-                                   lambda k, j, w_ref: (k, j, 0, 0),
+            out_specs=pl.BlockSpec((1, 2 * WIN, F * B),
+                                   lambda j, w_ref: (j, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((2, nm, WIN, F * B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nm, 2 * WIN, F * B), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * mp * WIN * B * F,
-            bytes_accessed=2 * mp * (4 + 4 + 4 * F)
-            + 2 * nm * WIN * F * B * 4,
+            flops=2 * mp * 2 * WIN * B * F,
+            bytes_accessed=mp * (4 + 4 + 4 * F)
+            + nm * 2 * WIN * F * B * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(w.astype(jnp.int32), ids_s.reshape(1, mp), ids_s.reshape(mp, 1), ct_s)
 
-    # tile-granular accumulation: 2*nm scatter rows of (WIN, F*B) each
-    widx = jnp.concatenate([w, w + 1])  # w+1 may equal A//WIN: one pad row
+    # tile-granular accumulation: nm scatter rows of (2, WIN, F*B) each
+    widx = jnp.stack([w, w + 1], axis=1)  # w+1 may hit A//WIN: one pad row
     aw = jnp.zeros((A // WIN + 1, WIN, F * B), jnp.float32)
-    aw = aw.at[widx].add(partials.reshape(2 * nm, WIN, F * B))
+    aw = aw.at[widx].add(partials.reshape(nm, 2, WIN, F * B))
     out = aw[:A // WIN].reshape(A, F, B)
     dtab = out.transpose(0, 2, 1).reshape(T, F)
 
