@@ -105,19 +105,19 @@ def _matmul_dtab(ids, ct, T, F):
     # On TPU the one-hot operands can be generated in VMEM and fed straight
     # to the MXU instead of materializing in HBM (ops/pallas/dtab.py);
     # SPNERF_HASH_MATMUL_PALLAS=0 forces the XLA fallback for A/B timing
-    from ..ops.pallas.dtab import LANES, MBLK, WIN, dtab_pallas
-    from ..ops.pallas.dtab import dtab_sorted_window
+    from ..ops.pallas.dtab import LANES, dtab_pallas, dtab_sorted_window
 
     use_pallas = (os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
                   and jax.default_backend() not in ("cpu",)
                   and F in (1, 2, 4, 8) and T % (LANES // F) == 0)
     if use_pallas:
-        A = T // (LANES // F)
         # sorted-window path when the dense kernel's FLOP surplus (A vs
         # 2*WIN one-hot rows) dwarfs the sort cost AND blocks of sorted rows
-        # span well under one window (mean span = A*MBLK/M <= WIN/4)
+        # span well under one window (window_eligible)
+        from ..ops.pallas.dtab import window_eligible
+
         if (os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
-                and A >= 16 * WIN and ids.shape[0] * WIN >= 4 * A * MBLK):
+                and window_eligible(T, F, ids.shape[0])):
             return dtab_sorted_window(ids, ct.astype(jnp.float32), T, F)
         # f32 operands measured FASTER in-kernel (65 vs 29.5 TFLOP/s at
         # T=2^19: the bf16 one-hot cast/multiply costs more on the VPU than
@@ -186,6 +186,41 @@ def _take_matmul_bwd(res, ct):
 
 
 _take_matmul.defvjp(_take_matmul_fwd, _take_matmul_bwd)
+
+
+# ------------------------------------------------------- batched-levels VJP
+# One take + one backward for ALL levels at once — REFUTED on the v5e, kept
+# opt-in via SPNERF_HASH_SW_BATCHED=1 (default off): XLA already overlaps
+# the L independent per-level dispatch chains, so the single batched chain
+# loses standalone (35.5 vs 27.7 ms, L=8 x 524288 rows at T=2^19) and loses
+# harder integrated (412.6 vs 272.7 ms/step — the (L, N, 8) id stack and
+# batched-gather copies compound). Full measurements in ops/pallas/dtab.py.
+# Only valid when every level is window-eligible at full table size T (gate
+# in HashGridEncoding): the per-level path's T_eff slicing for direct levels
+# only mattered for the DENSE backward, whose FLOPs scale with T — the
+# window backward's don't.
+
+@jax.custom_vjp
+def _take_batched(tab, idx):
+    """(L, T, F) table, (L, N, 8) int32 ids -> (L, N, 8, F); backward is one
+    cross-level batched sorted-window dtab."""
+    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tab, idx)
+
+
+def _take_batched_fwd(tab, idx):
+    return _take_batched(tab, idx), (idx, tab.shape)
+
+
+def _take_batched_bwd(res, ct):
+    idx, (L, T, F) = res
+    from ..ops.pallas.dtab import dtab_sorted_window_batched
+
+    dtab = dtab_sorted_window_batched(
+        idx.reshape(L, -1), ct.reshape(L, -1, F).astype(jnp.float32), T, F)
+    return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_batched.defvjp(_take_batched_fwd, _take_batched_bwd)
 
 
 class HashGridEncoding(nn.Module):
@@ -265,7 +300,8 @@ class HashGridEncoding(nn.Module):
             return hash_encode(x01, table,
                                tuple(int(r) for r in resolutions))
 
-        feats = []
+        # phase 1: per-level corner indices (direct or hashed) + fractions
+        per_level = []  # (idx (N, 8) int32, frac (N, 3), t_eff)
         for l in range(L):
             res = int(resolutions[l])
             xs = x01 * res
@@ -287,16 +323,43 @@ class HashGridEncoding(nn.Module):
                 if frame is not None:
                     lin = lin + frame * np.uint32(side ** 3)
                 idx = lin.astype(jnp.int32)
-                tab_l = table[l][:t_eff]
             else:
                 idx = _hash_coords(corners, T, frame)  # (N, 8)
-                tab_l = table[l]
-            take = {"sorted_vjp": _take_sorted,
-                    "matmul_vjp": _take_matmul}.get(
-                        self.impl, lambda t, i: jnp.take(t, i, axis=0))
-            vals = take(tab_l, idx)  # (N, 8, F)
-            # trilinear weights for the (i, j, k) corner ordering of _CORNERS
-            w = jnp.ones(corners.shape[:2], jnp.float32)
+                t_eff = T
+            per_level.append((idx, frac, t_eff))
+
+        # phase 2: table lookups. SPNERF_HASH_SW_BATCHED=1 (refuted on the
+        # v5e — see _take_batched) gathers all levels in ONE custom-VJP take
+        # whose backward is a single cross-level batched sorted-window dtab;
+        # default is per-level takes, whose independent chains XLA overlaps.
+        import os
+
+        from ..ops.pallas.dtab import window_eligible
+
+        n = x01.shape[0]
+        use_batched = (
+            self.impl == "matmul_vjp"
+            and os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
+            and os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
+            and os.environ.get("SPNERF_HASH_SW_BATCHED", "0") == "1"
+            and jax.default_backend() not in ("cpu",)
+            and window_eligible(T, self.n_features, n * 8))
+        if use_batched:
+            vals_all = _take_batched(
+                table, jnp.stack([p[0] for p in per_level]))  # (L, N, 8, F)
+
+        # phase 3: trilinear interpolation
+        feats = []
+        for l, (idx, frac, t_eff) in enumerate(per_level):
+            if use_batched:
+                vals = vals_all[l]  # (N, 8, F)
+            else:
+                take = {"sorted_vjp": _take_sorted,
+                        "matmul_vjp": _take_matmul}.get(
+                            self.impl, lambda t, i: jnp.take(t, i, axis=0))
+                vals = take(table[l][:t_eff], idx)  # (N, 8, F)
+            # trilinear weights for the (i, j, k) corner order of _CORNERS
+            w = jnp.ones((n, 8), jnp.float32)
             for d in range(3):
                 cd = _CORNERS[:, d].astype(jnp.float32)[None]  # (1, 8)
                 fd = frac[:, d: d + 1]  # (N, 1)

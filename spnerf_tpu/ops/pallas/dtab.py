@@ -43,6 +43,17 @@ TA = 256  # output rows per grid step (capped to A when A is smaller)
 WIN = 16  # sorted-window path: one-hot window width in A-rows per block
 
 
+def window_eligible(T, F, M):
+    """True when the sorted-window path applies and should win: lane-aligned
+    power-of-two split, enough table rows A that the dense kernel's FLOP
+    surplus dwarfs the sort (A >= 16*WIN), and sorted blocks spanning well
+    under one window (mean span = A*MBLK/M <= WIN/4)."""
+    if F not in (1, 2, 4, 8) or T % (LANES // F):
+        return False
+    A = T // (LANES // F)
+    return A % WIN == 0 and A >= 16 * WIN and M * WIN >= 4 * A * MBLK
+
+
 def _kernel(ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F, ta, dtype):
     k = pl.program_id(1)
 
@@ -157,6 +168,36 @@ def _win_kernel(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F,
             oh, g, preferred_element_type=jnp.float32)
 
 
+def _win_kernel_acc(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B,
+                    F, mblk, dtype):
+    """Window dot ACCUMULATED into per-window tiles: the output index_map
+    sends grid step j to tile w_j; since w is non-decreasing (ids sorted),
+    each tile is visited in one contiguous run — zero it on first visit,
+    `+=` on revisits, and Pallas flushes it to HBM when w changes. Output
+    traffic shrinks from one (2W, F*B) partial PER BLOCK (nm tiles) to one
+    per WINDOW (A/WIN tiles), and the XLA tile-scatter disappears."""
+    j = pl.program_id(0)
+    first = jnp.logical_or(
+        j == 0, w_ref[j] != w_ref[jnp.maximum(j - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = w_ref[j] * WIN
+    ia = ids_row_ref[:] // B - base  # (1, m) window-relative one-hot rows
+    ib = ids_col_ref[:] % B  # (m, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WIN, mblk), 0)
+    oh = (rows == ia).astype(dtype)  # (2W, m); rows outside [0, 2W) -> 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mblk, B), 1)
+    oh_b = (ib == cols).astype(dtype)  # (m, B)
+    ct = ct_ref[:]
+    for f in range(F):
+        g = oh_b * ct[:, f:f + 1].astype(dtype)
+        out_ref[0, :, f * B:(f + 1) * B] += jnp.dot(
+            oh, g, preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret"))
 def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
     """Exact scatter-add equivalent, FLOP-reduced: sort rows by id, evaluate
@@ -203,43 +244,208 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
     tail = (ia.reshape(nm, mblk)
             >= (w[:, None] + 2) * WIN).reshape(-1)  # rows the window misses
 
-    partials = pl.pallas_call(
-        functools.partial(_win_kernel, B=B, F=F, mblk=mblk,
-                          dtype=jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nm,),
-            in_specs=[
-                pl.BlockSpec((1, mblk), lambda j, w_ref: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mblk, 1), lambda j, w_ref: (j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mblk, F), lambda j, w_ref: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 2 * WIN, F * B),
-                                   lambda j, w_ref: (j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((nm, 2 * WIN, F * B), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * 2 * WIN * B * F,
-            bytes_accessed=mp * (4 + 4 + 4 * F)
-            + nm * 2 * WIN * F * B * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(w.astype(jnp.int32), ids_s.reshape(1, mp), ids_s.reshape(mp, 1), ct_s)
+    in_specs = [
+        pl.BlockSpec((1, mblk), lambda j, w_ref: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mblk, 1), lambda j, w_ref: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mblk, F), lambda j, w_ref: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (w.astype(jnp.int32), ids_s.reshape(1, mp),
+                ids_s.reshape(mp, 1), ct_s)
 
-    # tile-granular accumulation: nm scatter rows of (2, WIN, F*B) each
-    widx = jnp.stack([w, w + 1], axis=1)  # w+1 may hit A//WIN: one pad row
-    aw = jnp.zeros((A // WIN + 1, WIN, F * B), jnp.float32)
-    aw = aw.at[widx].add(partials.reshape(nm, 2, WIN, F * B))
-    out = aw[:A // WIN].reshape(A, F, B)
+    if os.environ.get("SPNERF_HASH_SW_ACC", "1") == "1":
+        # accumulate in-kernel into per-WINDOW tiles (w is non-decreasing,
+        # so each tile is one contiguous run of grid steps): output traffic
+        # drops nm -> A/WIN tiles and the XLA tile-scatter disappears.
+        nw = A // WIN
+        tiles = pl.pallas_call(
+            functools.partial(_win_kernel_acc, B=B, F=F, mblk=mblk,
+                              dtype=jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nm,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, 2 * WIN, F * B),
+                                       lambda j, w_ref: (w_ref[j], 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nw, 2 * WIN, F * B),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * 2 * WIN * B * F,
+                bytes_accessed=mp * (4 + 4 + 4 * F)
+                + nw * 2 * WIN * F * B * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*operands)
+        # tiles NEVER visited by any block keep uninitialized garbage: mask
+        # them (the tiny nm-row scatter replaces the removed nm-row
+        # tile-scatter, keeping the program's sparse-op count neutral)
+        visited = jnp.zeros((nw,), jnp.bool_).at[w].set(True)
+        tiles = jnp.where(visited[:, None, None], tiles, 0.0)
+        # overlap-add: tile v covers rows [v*WIN, (v+2)*WIN) — half H0 lands
+        # at v*WIN, half H1 at (v+1)*WIN; H1 of the last window covers rows
+        # >= A which no ia < A ever hits, so it is zero and dropped
+        h0 = tiles[:, :WIN]  # (nw, WIN, F*B)
+        h1 = tiles[:, WIN:]
+        out = h0 + jnp.concatenate(
+            [jnp.zeros((1, WIN, F * B), jnp.float32), h1[:-1]])
+        out = out.reshape(A, F, B)
+    else:
+        partials = pl.pallas_call(
+            functools.partial(_win_kernel, B=B, F=F, mblk=mblk,
+                              dtype=jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nm,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, 2 * WIN, F * B),
+                                       lambda j, w_ref: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nm, 2 * WIN, F * B),
+                                           jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * 2 * WIN * B * F,
+                bytes_accessed=mp * (4 + 4 + 4 * F)
+                + nm * 2 * WIN * F * B * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*operands)
+
+        # tile-granular accumulation: nm scatter rows of (2, WIN, F*B) each
+        widx = jnp.stack([w, w + 1], axis=1)  # w+1 can hit A//WIN: pad row
+        aw = jnp.zeros((A // WIN + 1, WIN, F * B), jnp.float32)
+        aw = aw.at[widx].add(partials.reshape(nm, 2, WIN, F * B))
+        out = aw[:A // WIN].reshape(A, F, B)
     dtab = out.transpose(0, 2, 1).reshape(T, F)
 
     def with_tail(_):
         t_ct = jnp.where(tail[:, None], ct_s, 0.0)
         return dtab + jnp.zeros((T, F), jnp.float32).at[ids_s].add(t_ct)
+
+    return jax.lax.cond(jnp.any(tail), with_tail, lambda _: dtab, None)
+
+
+# ------------------------------------------------- batched (cross-level) form
+# REFUTED optimization, kept opt-in (SPNERF_HASH_SW_BATCHED=1) for other
+# hardware. Hypothesis: the hash backward issues one dtab per LEVEL per pass
+# (21 sorted windows + 3 dense tiles per train step at the default geometry),
+# each with its own sort, pallas launch, tile scatter, and tail conditional —
+# batching all levels into ONE chain (one batched (L, M) `lax.sort`, one
+# (L, nm)-grid pallas call, one (L,)-batched tile scatter, one conditional)
+# should cut the dispatch tax the profile showed (31 ms sort, 12.6 ms cond,
+# ~60 ms copies around 48.5 ms of window matmuls).
+# MEASURED (v5e, L=8, M=524288/level, T=2^19, F=4): per-level-in-one-jit
+# 27.7 ms, batched 35.5 ms, flat-offset-into-one-(L*T)-table 50.3 ms — XLA
+# already OVERLAPS the L independent per-level chains, so serializing them
+# behind one giant sort loses, and integrated it is far worse (412.6 vs
+# 272.7 ms/step: the (L, N, 8) id stack + batched-gather copies compound).
+# Semantically identical to L independent dtab_sorted_window calls at full
+# table size T (pinned by tests/test_pallas.py).
+
+
+def _win_kernel_b(w_ref, ids_ref, idc_ref, ct_ref, out_ref, *, B, F, mblk,
+                  dtype):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    base = w_ref[l, j] * WIN
+    ia = ids_ref[0] // B - base  # (1, mblk) window-relative one-hot rows
+    ib = idc_ref[0] % B  # (mblk, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WIN, mblk), 0)
+    oh = (rows == ia).astype(dtype)  # (2W, m); rows outside [0, 2W) -> 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mblk, B), 1)
+    oh_b = (ib == cols).astype(dtype)  # (m, B)
+    ct = ct_ref[0]  # (mblk, F)
+    for f in range(F):
+        g = oh_b * ct[:, f:f + 1].astype(dtype)
+        out_ref[0, 0, :, f * B:(f + 1) * B] = jnp.dot(
+            oh, g, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret"))
+def dtab_sorted_window_batched(ids, ct, T, F, mblk=None, interpret=False):
+    """L independent sorted-window scatter-adds in one dispatch chain:
+    (L, M) int32 ids in [0, T), (L, M, F) f32 cotangents -> (L, T, F)."""
+    import os
+
+    if mblk is None:
+        mblk = int(os.environ.get("SPNERF_HASH_SW_MBLK", MBLK))
+    B = LANES // F
+    A = T // B
+    assert T % B == 0 and A % WIN == 0, (T, F)
+    L, M = ids.shape
+    pad = (-M) % mblk
+    if pad:  # pad with the largest id so sorted order puts them last
+        ids = jnp.concatenate(
+            [ids, jnp.full((L, pad), T - 1, ids.dtype)], axis=1)
+        ct = jnp.concatenate([ct, jnp.zeros((L, pad, F), ct.dtype)], axis=1)
+    mp = M + pad
+    nm = mp // mblk
+    ct = ct.astype(jnp.float32)
+
+    # one batched sort for all levels; payload rides the sort (argsort+take
+    # refutation above applies here too)
+    ops = jax.lax.sort((ids.astype(jnp.int32),)
+                       + tuple(ct[..., j] for j in range(F)), num_keys=1)
+    ids_s = ops[0]  # (L, mp)
+    ct_s = jnp.stack(ops[1:], axis=-1)  # (L, mp, F)
+    ia = ids_s // B
+    w = ia[:, ::mblk] // WIN  # (L, nm) leading window index per block
+    tail = (ia.reshape(L, nm, mblk)
+            >= (w[..., None] + 2) * WIN)  # rows the 2W window misses
+
+    partials = pl.pallas_call(
+        functools.partial(_win_kernel_b, B=B, F=F, mblk=mblk,
+                          dtype=jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, nm),
+            in_specs=[
+                # (L, 1, mp) so the block's last two dims are (1, mblk)
+                # against array dims (1, mp) — Mosaic's tiling rule rejects
+                # a (1, mblk) block over (L, mp) directly
+                pl.BlockSpec((1, 1, mblk), lambda l, j, w_ref: (l, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mblk, 1), lambda l, j, w_ref: (l, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mblk, F), lambda l, j, w_ref: (l, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 2 * WIN, F * B),
+                                   lambda l, j, w_ref: (l, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, nm, 2 * WIN, F * B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * mp * 2 * WIN * B * F,
+            bytes_accessed=L * (mp * (4 + 4 + 4 * F)
+                                + nm * 2 * WIN * F * B * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w.astype(jnp.int32), ids_s[:, None, :], ids_s[..., None], ct_s)
+
+    # one batched tile-granular accumulation: (L, nm, 2) rows of (WIN, F*B)
+    widx = jnp.stack([w, w + 1], axis=-1)  # w+1 may hit A//WIN: one pad row
+    lidx = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+    aw = jnp.zeros((L, A // WIN + 1, WIN, F * B), jnp.float32)
+    aw = aw.at[lidx, widx].add(partials.reshape(L, nm, 2, WIN, F * B))
+    out = aw[:, :A // WIN].reshape(L, A, F, B)
+    dtab = out.transpose(0, 1, 3, 2).reshape(L, T, F)
+
+    def with_tail(_):
+        t_ct = jnp.where(tail.reshape(L, mp)[..., None], ct_s, 0.0)
+        flat_ids = (jnp.arange(L, dtype=jnp.int32)[:, None] * T
+                    + ids_s).reshape(-1)
+        fix = jnp.zeros((L * T, F), jnp.float32).at[flat_ids].add(
+            t_ct.reshape(-1, F))
+        return dtab + fix.reshape(L, T, F)
 
     return jax.lax.cond(jnp.any(tail), with_tail, lambda _: dtab, None)

@@ -103,11 +103,18 @@ def test_dtab_pallas_matches_scatter(rng):
                                    atol=1e-4, err_msg=f"T={T} F={F} M={M}")
 
 
-def test_dtab_sorted_window_matches_scatter(rng):
+@pytest.mark.parametrize("acc", ["1", "0"])
+def test_dtab_sorted_window_matches_scatter(rng, monkeypatch, acc):
     """ops/pallas/dtab sorted-window path == scatter-add: uniform ids, skewed
     ids that force the tail scatter fallback, non-MBLK-multiple row counts,
-    and ids concentrated in the last window (interpret mode)."""
+    and ids concentrated in the last window — which for the accumulating
+    variant (SPNERF_HASH_SW_ACC=1) leaves most window tiles unvisited,
+    pinning the visited-mask (interpret mode). The env is read at trace
+    time, so the jit cache is cleared per variant."""
     from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window
+
+    monkeypatch.setenv("SPNERF_HASH_SW_ACC", acc)
+    dtab_sorted_window.clear_cache()
 
     cases = []
     T, F, M = 2 ** 15, 4, 70000
@@ -123,9 +130,33 @@ def test_dtab_sorted_window_matches_scatter(rng):
     cases.append((2 ** 14, 4, jnp.asarray(
         rng.integers(2 ** 14 - 200, 2 ** 14, 3000).astype(np.int32))))
 
-    for T, F, idsj in cases:
-        ct = jnp.asarray(rng.normal(size=(idsj.shape[0], F)).astype(np.float32))
-        ref = jnp.zeros((T, F), jnp.float32).at[idsj].add(ct)
-        out = dtab_sorted_window(idsj, ct, T, F, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-3, err_msg=f"T={T} F={F}")
+    try:
+        for T, F, idsj in cases:
+            ct = jnp.asarray(
+                rng.normal(size=(idsj.shape[0], F)).astype(np.float32))
+            ref = jnp.zeros((T, F), jnp.float32).at[idsj].add(ct)
+            out = dtab_sorted_window(idsj, ct, T, F, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-3, err_msg=f"T={T} F={F}")
+    finally:
+        dtab_sorted_window.clear_cache()
+
+
+def test_dtab_sorted_window_batched_matches_scatter(rng):
+    """Batched cross-level sorted-window == L independent scatter-adds,
+    including a level whose ids concentrate in few rows (direct-coarse-like)
+    and one that forces the tail fallback (interpret mode)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window_batched
+
+    T, F, M = 2 ** 15, 4, 70000
+    lvl0 = rng.integers(0, T, M)  # uniform (hashed level)
+    lvl1 = rng.integers(0, 4913, M)  # concentrated (direct coarse level)
+    lvl2 = rng.integers(0, T, M)
+    lvl2[: M // 2] = rng.integers(0, 64, M // 2)  # skew -> tail branch
+    ids = jnp.asarray(np.stack([lvl0, lvl1, lvl2]).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(3, M, F)).astype(np.float32))
+    ref = np.stack([
+        np.asarray(jnp.zeros((T, F), jnp.float32).at[ids[l]].add(ct[l]))
+        for l in range(3)])
+    out = dtab_sorted_window_batched(ids, ct, T, F, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
