@@ -51,6 +51,10 @@ class ModelConfig:
     # NGP direct (collision-free) indexing for levels whose dense grid fits
     # the table; False reproduces round<=2 checkpoints (hash everywhere)
     hash_direct_coarse: bool = True
+    # store each level's table as one flat (T*F,) row — numerically
+    # identical, avoids TPU layout padding/conversion on the narrow F-minor
+    # (T, F) shape; False reproduces round<=3 checkpoints (param shapes)
+    hash_flat_table: bool = True
 
 
 @dataclass(frozen=True)
@@ -218,6 +222,10 @@ def build_train_parser():
                    help="hash every level even when the dense grid fits the "
                         "table (pre-round-3 behavior; needed to evaluate "
                         "checkpoints trained before direct coarse indexing)")
+    p.add_argument("--no_hash_flat_table", action="store_true",
+                   help="store hash tables as (T, F) instead of flat (T*F,) "
+                        "rows (needed to evaluate checkpoints trained "
+                        "before flat table storage)")
     p.add_argument("--proposal", action="store_true",
                    help="density-only proposal network places the main "
                         "field's samples (interlevel loss)")
@@ -293,6 +301,7 @@ def model_config_from_args(args) -> ModelConfig:
         hash_log2T=getattr(args, "hash_log2T", 19),
         hash_impl=getattr(args, "hash_impl", "auto"),
         hash_direct_coarse=not getattr(args, "no_hash_direct_coarse", False),
+        hash_flat_table=not getattr(args, "no_hash_flat_table", False),
         # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
         # resolution in its own pseudo-table (models/hashgrid.py frames)
         hash_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")

@@ -39,6 +39,7 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
                           frames=getattr(cfg, "hash_frames", 1),
                           direct_coarse=getattr(cfg, "hash_direct_coarse",
                                                 True),
+                          flat_table=getattr(cfg, "hash_flat_table", True),
                           enc_impl=impl)
     return SPNeRF(cfg=cfg, compute_dtype=dtype)
 

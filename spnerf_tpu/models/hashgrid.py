@@ -167,6 +167,66 @@ def _matmul_dtab(ids, ct, T, F):
     return acc.reshape(T, F)
 
 
+# ------------------------------------------------------------- flat storage
+# A (T, F) table with F=4 minor is a pathological TPU shape: the (8, 128)
+# tile pads the 4-lane minor dim, and XLA resolves the conflicting layout
+# preferences of the gather (wants {0,1:T(4,128)}), the dtab producer, and
+# the optimizer carry ({2,1,0:T(8,128)}) by inserting per-step conversion
+# copies. Profiled on the full hash step at T=2^19 (round 3): the Adam
+# update on the (L, T, F) table alone is 27.6 ms/step (~50x off its traffic
+# bound) plus ~10 ms/step of mu/nu layout copies. Storing each level's
+# table as ONE FLAT row (L, T*F) keeps the param, its gradient, and the
+# Adam carries on one unambiguous linear layout; the per-level lookup
+# reshapes the row to (t_eff, F) in-step and reuses the proven row-gather
+# programs, confining any conversion to one per-level copy each way.
+# Measured integrated (full sp-nerf hash step, T=2^19, v5e): 254.8 ms/step
+# flat+reshape vs 266.6 (T, F) storage (+4.6% — the reshape conversions eat
+# most of the Adam-side win, but the residual is real and reproducible).
+# The no-reshape alternative below (_gather_slices: F-element slice gather
+# straight off the flat row at offsets id*F, SPNERF_HASH_FLAT_GATHER=1) was
+# REFUTED hard: 735 ms/step — XLA lowers the 1-D multi-slice gather far
+# worse than the row gather off a 2-D (T, F) operand.
+
+
+def _gather_slices(row, idx, F):
+    """(Teff*F,) flat table row, (N, 8) int32 ids -> (N, 8, F): F-element
+    slices at offsets id*F (== jnp.take(row.reshape(-1, F), idx, axis=0))."""
+    starts = (idx.reshape(-1) * F)[:, None]
+    out = jax.lax.gather(
+        row, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(F,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out.reshape(*idx.shape, F)
+
+
+def _take_flat_matmul(row, idx, F):
+    return _TakeFlatMatmul(F)(row, idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _TakeFlatMatmul(F):
+    @jax.custom_vjp
+    def take(row, idx):
+        return _gather_slices(row, idx, F)
+
+    def fwd(row, idx):
+        return take(row, idx), (idx, row.shape[0])
+
+    def bwd(res, ct):
+        idx, n = res
+        dtab = _matmul_dtab(idx.reshape(-1),
+                            ct.reshape(-1, F).astype(jnp.float32), n // F, F)
+        # (T, F) -> flat row-major (T*F,): fuses into the dtab producer's
+        # final transpose, no extra pass
+        return dtab.reshape(-1), np.zeros(idx.shape, jax.dtypes.float0)
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
 @jax.custom_vjp
 def _take_matmul(tab, idx):
     """jnp.take(tab, idx, axis=0) whose BACKWARD is the factorized one-hot
@@ -257,6 +317,14 @@ class HashGridEncoding(nn.Module):
     # the [-1,1] clip collapses every AOI after the first onto one boundary
     # plane of the grid.
     frames: int = 1
+    # store each level's table as one FLAT (T*F,) row instead of (T, F):
+    # numerically identical, but the narrow F-minor shape forces padded
+    # tilings + per-step layout-conversion copies on TPU (measurements in
+    # the flat-storage comment above; +4.6% integrated). Applies to the xla
+    # and matmul_vjp impls (the CPU/accelerator defaults); other impls keep
+    # (T, F) storage. --no_hash_flat_table reproduces checkpoints trained
+    # before this change (different param SHAPES).
+    flat_table: bool = True
 
     @nn.compact
     def __call__(self, xyz):
@@ -266,11 +334,12 @@ class HashGridEncoding(nn.Module):
         resolutions = np.floor(
             self.base_resolution * b ** np.arange(L)).astype(np.int64)
 
+        flat = self.flat_table and self.impl in ("xla", "matmul_vjp")
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
                                                   -1e-4, 1e-4),
-            (L, T, F),
+            (L, T * F) if flat else (L, T, F),
         )
 
         xyz = jnp.asarray(xyz, jnp.float32)
@@ -338,7 +407,7 @@ class HashGridEncoding(nn.Module):
 
         n = x01.shape[0]
         use_batched = (
-            self.impl == "matmul_vjp"
+            self.impl == "matmul_vjp" and not flat
             and os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
             and os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
             and os.environ.get("SPNERF_HASH_SW_BATCHED", "0") == "1"
@@ -353,6 +422,29 @@ class HashGridEncoding(nn.Module):
         for l, (idx, frac, t_eff) in enumerate(per_level):
             if use_batched:
                 vals = vals_all[l]  # (N, 8, F)
+            elif flat:
+                # contiguous t_eff*F prefix of the flat row (direct-coarse
+                # levels address [0, t_eff) exactly as in (T, F) storage)
+                row = table[l] if t_eff == T else table[l][:t_eff * F]
+                if os.environ.get("SPNERF_HASH_FLAT_GATHER", "0") == "1":
+                    # F-element slice gather straight off the flat row:
+                    # measured 735 ms/step integrated (vs 266 reshape) — the
+                    # TPU lowers the 1-D slice gather far worse than the row
+                    # gather off a (T, F) operand. Kept for re-measurement.
+                    if self.impl == "matmul_vjp":
+                        vals = _take_flat_matmul(row, idx, F)  # (N, 8, F)
+                    else:  # "xla": autodiff VJP is the slice scatter-add
+                        vals = _gather_slices(row, idx, F)
+                else:
+                    # reshape to (t_eff, F) and reuse the proven row-gather
+                    # programs: the layout conversion (if XLA inserts one)
+                    # is a single per-level copy each way, while the param,
+                    # its gradient, and the Adam carries all stay on the
+                    # clean linear (L, T*F) layout
+                    take = {"sorted_vjp": _take_sorted,
+                            "matmul_vjp": _take_matmul}.get(
+                                self.impl, lambda t, i: jnp.take(t, i, axis=0))
+                    vals = take(row.reshape(t_eff, F), idx)  # (N, 8, F)
             else:
                 take = {"sorted_vjp": _take_sorted,
                         "matmul_vjp": _take_matmul}.get(
@@ -381,6 +473,7 @@ class HashSPNeRF(nn.Module):
     enc_impl: str = "xla"  # forwarded to HashGridEncoding.impl
     frames: int = 1  # multi-AOI frames (HashGridEncoding.frames)
     direct_coarse: bool = True  # HashGridEncoding.direct_coarse
+    flat_table: bool = True  # HashGridEncoding.flat_table
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
@@ -396,6 +489,7 @@ class HashSPNeRF(nn.Module):
             n_levels=self.n_levels, n_features=self.n_features,
             log2_table_size=self.log2_table_size, impl=self.enc_impl,
             frames=self.frames, direct_coarse=self.direct_coarse,
+            flat_table=self.flat_table,
         )(xyz)
 
         x_in = enc

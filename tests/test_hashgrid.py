@@ -107,8 +107,11 @@ def test_restructured_vjp_hash_encode_matches_xla(rng, impl):
     plain-autodiff path: same forward, same table and position gradients."""
     xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
     # direct_coarse=False: fused_vjp implements the hash-every-level function
+    # flat_table=False: sorted/fused impls keep (T, F) storage, so the shared
+    # params must too (flat <-> (T, F) equivalence pinned separately below)
     kw = dict(n_levels=4, n_features=2, log2_table_size=12,
-              base_resolution=4, max_resolution=64, direct_coarse=False)
+              base_resolution=4, max_resolution=64, direct_coarse=False,
+              flat_table=False)
     enc_x = HashGridEncoding(impl="xla", **kw)
     enc_p = HashGridEncoding(impl=impl, **kw)
     params = enc_x.init(jax.random.PRNGKey(0), xyz)
@@ -190,7 +193,8 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
     params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
     out = np.asarray(enc.apply(params, jnp.asarray(xyz)))
 
-    tab = np.asarray(params["params"]["table"])  # (L, T, F)
+    # flat (L, T*F) storage is row-major-identical to (L, T, F)
+    tab = np.asarray(params["params"]["table"]).reshape(L, -1, F)
     b = np.exp((np.log(8) - np.log(4)) / (L - 1))
     x01 = np.clip((xyz + 1.0) * 0.5, 0.0, 1.0)
     for l in range(L):
@@ -233,6 +237,45 @@ def test_direct_coarse_toggle_changes_coarse_levels_only(rng):
     np.testing.assert_allclose(out_d[:, 2:], out_h[:, 2:], rtol=0, atol=0)
     g = jax.grad(lambda p: jnp.sum(enc_d.apply(p, xyz) ** 2))(params)
     assert np.any(np.asarray(g["params"]["table"]) != 0)
+
+
+@pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
+def test_flat_table_matches_tf_storage(rng, impl):
+    """Flat (L, T*F) table storage (the default; avoids TPU layout padding
+    on the narrow F-minor shape) is numerically identical to (T, F)
+    storage: same forward and same table/position gradients when the flat
+    params are the row-major reshape of the (T, F) params. Covers hashed
+    AND direct-coarse levels (t_eff < T prefix slicing)."""
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
+    kw = dict(n_levels=4, n_features=2, log2_table_size=12,
+              base_resolution=4, max_resolution=64, impl=impl)
+    enc_tf = HashGridEncoding(flat_table=False, **kw)
+    enc_fl = HashGridEncoding(flat_table=True, **kw)
+    params_tf = enc_tf.init(jax.random.PRNGKey(0), xyz)
+    params_tf = jax.tree_util.tree_map(lambda t: t * 1e4, params_tf)
+    L = kw["n_levels"]
+    params_fl = {"params": {
+        "table": params_tf["params"]["table"].reshape(L, -1)}}
+
+    out_tf = enc_tf.apply(params_tf, xyz)
+    out_fl = enc_fl.apply(params_fl, xyz)
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_tf),
+                               rtol=1e-6, atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=out_tf.shape).astype(np.float32))
+    gt_tf, gx_tf = jax.grad(
+        lambda p, x: jnp.sum(enc_tf.apply(p, x) * g), argnums=(0, 1))(
+            params_tf, xyz)
+    gt_fl, gx_fl = jax.grad(
+        lambda p, x: jnp.sum(enc_fl.apply(p, x) * g), argnums=(0, 1))(
+            params_fl, xyz)
+    np.testing.assert_allclose(
+        np.asarray(gt_fl["params"]["table"]),
+        np.asarray(gt_tf["params"]["table"]).reshape(L, -1),
+        rtol=1e-5, atol=1e-5)
+    ref = np.asarray(gx_tf)
+    np.testing.assert_allclose(np.asarray(gx_fl), ref,
+                               rtol=1e-4, atol=1e-4 * np.abs(ref).max())
 
 
 def test_fused_vjp_hash_field_trains(rng):
