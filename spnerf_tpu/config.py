@@ -51,9 +51,10 @@ class ModelConfig:
     # NGP direct (collision-free) indexing for levels whose dense grid fits
     # the table; False reproduces round<=2 checkpoints (hash everywhere)
     hash_direct_coarse: bool = True
-    # store each level's table as one flat (T*F,) row — numerically
-    # identical, avoids TPU layout padding/conversion on the narrow F-minor
-    # (T, F) shape; False reproduces round<=3 checkpoints (param shapes)
+    # store each level's table as one flat FEATURE-MAJOR (T*F,) row —
+    # numerically identical, avoids TPU layout padding/conversion on the
+    # narrow F-minor (T, F) shape (266.6 -> 220.1 ms/step integrated at
+    # T=2^19); False reproduces round<=3 checkpoints (param shapes)
     hash_flat_table: bool = True
 
 

@@ -97,8 +97,11 @@ _take_sorted.defvjp(_take_sorted_fwd, _take_sorted_bwd)
 # Operands are bf16 (one-hots are exact in any dtype; ct rows round to bf16,
 # accumulation is f32 on the MXU) unless SPNERF_HASH_MATMUL_F32=1.
 
-def _matmul_dtab(ids, ct, T, F):
-    """scatter-add equivalent: (M,) int32 ids, (M, F) f32 ct -> (T, F) f32."""
+def _matmul_dtab(ids, ct, T, F, fmajor=False):
+    """scatter-add equivalent: (M,) int32 ids, (M, F) f32 ct -> (T, F) f32.
+
+    fmajor=True: ct arrives (F, M) and the result is (F, T) — used by the
+    flat F-major table storage (no layout change in the math)."""
     import os
 
     f32 = os.environ.get("SPNERF_HASH_MATMUL_F32") == "1"
@@ -118,11 +121,15 @@ def _matmul_dtab(ids, ct, T, F):
 
         if (os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
                 and window_eligible(T, F, ids.shape[0])):
-            return dtab_sorted_window(ids, ct.astype(jnp.float32), T, F)
+            return dtab_sorted_window(ids, ct.astype(jnp.float32), T, F,
+                                      fmajor=fmajor)
         # f32 operands measured FASTER in-kernel (65 vs 29.5 TFLOP/s at
         # T=2^19: the bf16 one-hot cast/multiply costs more on the VPU than
         # the MXU saves) — the opposite of the XLA path below
-        return dtab_pallas(ids, ct.astype(jnp.float32), T, F, f32=True)
+        return dtab_pallas(ids, ct.astype(jnp.float32), T, F, f32=True,
+                           fmajor=fmajor)
+    if fmajor:  # XLA fallback computes (T, F); shuffle at the boundaries
+        return _matmul_dtab(ids, ct.T, T, F).T
 
     dtype = jnp.float32 if f32 else jnp.bfloat16
     # g per block is block*B*F bytes in bf16: 32768 rows at B=512, F=4 is
@@ -170,22 +177,26 @@ def _matmul_dtab(ids, ct, T, F):
 # ------------------------------------------------------------- flat storage
 # A (T, F) table with F=4 minor is a pathological TPU shape: the (8, 128)
 # tile pads the 4-lane minor dim, and XLA resolves the conflicting layout
-# preferences of the gather (wants {0,1:T(4,128)}), the dtab producer, and
-# the optimizer carry ({2,1,0:T(8,128)}) by inserting per-step conversion
-# copies. Profiled on the full hash step at T=2^19 (round 3): the Adam
-# update on the (L, T, F) table alone is 27.6 ms/step (~50x off its traffic
-# bound) plus ~10 ms/step of mu/nu layout copies. Storing each level's
-# table as ONE FLAT row (L, T*F) keeps the param, its gradient, and the
-# Adam carries on one unambiguous linear layout; the per-level lookup
-# reshapes the row to (t_eff, F) in-step and reuses the proven row-gather
-# programs, confining any conversion to one per-level copy each way.
-# Measured integrated (full sp-nerf hash step, T=2^19, v5e): 254.8 ms/step
-# flat+reshape vs 266.6 (T, F) storage (+4.6% — the reshape conversions eat
-# most of the Adam-side win, but the residual is real and reproducible).
-# The no-reshape alternative below (_gather_slices: F-element slice gather
-# straight off the flat row at offsets id*F, SPNERF_HASH_FLAT_GATHER=1) was
-# REFUTED hard: 735 ms/step — XLA lowers the 1-D multi-slice gather far
-# worse than the row gather off a 2-D (T, F) operand.
+# preferences of the gather (wants the F-major {0,1:T(4,128)} order), the
+# dtab producer, and the optimizer carry ({2,1,0:T(8,128)}) by inserting
+# per-step conversion copies. Profiled on the full hash step at T=2^19
+# (round 3): the Adam update on the (L, T, F) table alone is 27.6 ms/step
+# (~50x off its traffic bound) plus ~10 ms/step of mu/nu layout copies.
+# Storing each level's table as ONE FLAT row (L, T*F) keeps the param, its
+# gradient, and the Adam carries on one unambiguous linear layout; ordering
+# that row FEATURE-MAJOR (row[f*T + t]) additionally makes the free (F, T)
+# view exactly the operand order the gather prefers, so the layout
+# conversions vanish on both sides (the t-major ordering, which reshapes to
+# (t_eff, F) and row-gathers, still paid ~33 ms/step of {1,0}->{0,1}
+# conversion copies around the takes — profiled).
+# Integrated full sp-nerf hash step, T=2^19, v5e:
+#   (L, T, F) storage                 266.6 ms/step
+#   flat t-major + (t_eff, F) reshape 251.2 ms/step (SPNERF_HASH_FMAJOR=0)
+#   flat F-MAJOR (F, T) view          220.1 ms/step (the default)
+# The no-reshape t-major alternative (_gather_slices: F-element slice
+# gather straight off the flat row at offsets id*F,
+# SPNERF_HASH_FLAT_GATHER=1) was REFUTED hard: 735 ms/step — XLA lowers the
+# 1-D multi-slice gather far worse than a 2-D-operand gather.
 
 
 def _gather_slices(row, idx, F):
@@ -225,6 +236,29 @@ def _TakeFlatMatmul(F):
 
     take.defvjp(fwd, bwd)
     return take
+
+
+@jax.custom_vjp
+def _take_matmul_ft(tab_ft, idx):
+    """jnp.take(tab_ft, idx, axis=1) on a FEATURE-MAJOR (F, T) table view,
+    with the factorized one-hot matmul backward producing (F, T) directly
+    (impl="matmul_vjp" under F-major flat storage)."""
+    return jnp.take(tab_ft, idx, axis=1)
+
+
+def _take_matmul_ft_fwd(tab_ft, idx):
+    return jnp.take(tab_ft, idx, axis=1), (idx, tab_ft.shape)
+
+
+def _take_matmul_ft_bwd(res, ct):
+    idx, (F, T) = res
+    dtab = _matmul_dtab(idx.reshape(-1),
+                        ct.reshape(F, -1).astype(jnp.float32), T, F,
+                        fmajor=True)
+    return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_matmul_ft.defvjp(_take_matmul_ft_fwd, _take_matmul_ft_bwd)
 
 
 @jax.custom_vjp
@@ -317,10 +351,11 @@ class HashGridEncoding(nn.Module):
     # the [-1,1] clip collapses every AOI after the first onto one boundary
     # plane of the grid.
     frames: int = 1
-    # store each level's table as one FLAT (T*F,) row instead of (T, F):
-    # numerically identical, but the narrow F-minor shape forces padded
-    # tilings + per-step layout-conversion copies on TPU (measurements in
-    # the flat-storage comment above; +4.6% integrated). Applies to the xla
+    # store each level's table as one FLAT feature-major (T*F,) row
+    # (row[f*T + t]) instead of (T, F): numerically identical, but the
+    # narrow F-minor shape forces padded tilings + per-step
+    # layout-conversion copies on TPU (measurements in the flat-storage
+    # comment above; 266.6 -> 220.1 ms/step integrated). Applies to the xla
     # and matmul_vjp impls (the CPU/accelerator defaults); other impls keep
     # (T, F) storage. --no_hash_flat_table reproduces checkpoints trained
     # before this change (different param SHAPES).
@@ -335,6 +370,16 @@ class HashGridEncoding(nn.Module):
             self.base_resolution * b ** np.arange(L)).astype(np.int64)
 
         flat = self.flat_table and self.impl in ("xla", "matmul_vjp")
+        # Flat rows are ordered FEATURE-MAJOR (row[f*T + t]): the (F, T)
+        # view hands the gather its preferred operand order with no layout
+        # conversion. Measured integrated at T=2^19 (v5e): 220.1 ms/step
+        # vs 251.2 t-major flat vs 266.6 (T, F) storage. SPNERF_HASH_FMAJOR=0
+        # selects the t-major flat ordering — MEASUREMENT ONLY: it changes
+        # the param SEMANTICS (not shape), so never mix checkpoints across
+        # settings.
+        import os
+
+        fmajor = flat and os.environ.get("SPNERF_HASH_FMAJOR", "1") == "1"
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
@@ -423,28 +468,45 @@ class HashGridEncoding(nn.Module):
             if use_batched:
                 vals = vals_all[l]  # (N, 8, F)
             elif flat:
-                # contiguous t_eff*F prefix of the flat row (direct-coarse
-                # levels address [0, t_eff) exactly as in (T, F) storage)
-                row = table[l] if t_eff == T else table[l][:t_eff * F]
-                if os.environ.get("SPNERF_HASH_FLAT_GATHER", "0") == "1":
-                    # F-element slice gather straight off the flat row:
-                    # measured 735 ms/step integrated (vs 266 reshape) — the
-                    # TPU lowers the 1-D slice gather far worse than the row
-                    # gather off a (T, F) operand. Kept for re-measurement.
+                if fmajor:
+                    # FEATURE-MAJOR flat row: view as (F, T) (free bitcast),
+                    # slice the level's t_eff prefix along the minor axis
+                    # (lane-contiguous), gather COLUMNS. The gather's
+                    # preferred operand layout on a (T, F) table is
+                    # F-major-tiled — this storage hands it that order
+                    # without the {1,0}->{0,1} conversion copies the t-major
+                    # reshape path pays (profiled at 33 ms/step at T=2^19).
+                    tab_ft = table[l].reshape(F, T)
+                    if t_eff != T:
+                        tab_ft = tab_ft[:, :t_eff]
                     if self.impl == "matmul_vjp":
-                        vals = _take_flat_matmul(row, idx, F)  # (N, 8, F)
-                    else:  # "xla": autodiff VJP is the slice scatter-add
-                        vals = _gather_slices(row, idx, F)
+                        vals_ft = _take_matmul_ft(tab_ft, idx)  # (F, N, 8)
+                    else:  # "xla": autodiff VJP is the native scatter-add
+                        vals_ft = jnp.take(tab_ft, idx, axis=1)
+                    vals = None
                 else:
-                    # reshape to (t_eff, F) and reuse the proven row-gather
-                    # programs: the layout conversion (if XLA inserts one)
-                    # is a single per-level copy each way, while the param,
-                    # its gradient, and the Adam carries all stay on the
-                    # clean linear (L, T*F) layout
-                    take = {"sorted_vjp": _take_sorted,
-                            "matmul_vjp": _take_matmul}.get(
-                                self.impl, lambda t, i: jnp.take(t, i, axis=0))
-                    vals = take(row.reshape(t_eff, F), idx)  # (N, 8, F)
+                    # contiguous t_eff*F prefix of the flat row
+                    # (direct-coarse levels address [0, t_eff) exactly as in
+                    # (T, F) storage)
+                    row = table[l] if t_eff == T else table[l][:t_eff * F]
+                    if os.environ.get("SPNERF_HASH_FLAT_GATHER", "0") == "1":
+                        # F-element slice gather straight off the flat row:
+                        # measured 735 ms/step integrated (vs 266 reshape) —
+                        # the TPU lowers the 1-D slice gather far worse than
+                        # the row gather off a (T, F) operand.
+                        if self.impl == "matmul_vjp":
+                            vals = _take_flat_matmul(row, idx, F)
+                        else:  # "xla": VJP is the slice scatter-add
+                            vals = _gather_slices(row, idx, F)
+                    else:
+                        # reshape to (t_eff, F) and reuse the proven
+                        # row-gather programs; the param, its gradient, and
+                        # the Adam carries stay on the clean linear layout
+                        take = {"sorted_vjp": _take_sorted,
+                                "matmul_vjp": _take_matmul}.get(
+                                    self.impl,
+                                    lambda t, i: jnp.take(t, i, axis=0))
+                        vals = take(row.reshape(t_eff, F), idx)  # (N, 8, F)
             else:
                 take = {"sorted_vjp": _take_sorted,
                         "matmul_vjp": _take_matmul}.get(
@@ -456,7 +518,10 @@ class HashGridEncoding(nn.Module):
                 cd = _CORNERS[:, d].astype(jnp.float32)[None]  # (1, 8)
                 fd = frac[:, d: d + 1]  # (N, 1)
                 w = w * (cd * fd + (1.0 - cd) * (1.0 - fd))
-            feats.append(jnp.sum(w[..., None] * vals, axis=1))  # (N, F)
+            if fmajor and vals is None:
+                feats.append(jnp.einsum('nc,fnc->nf', w, vals_ft))  # (N, F)
+            else:
+                feats.append(jnp.sum(w[..., None] * vals, axis=1))  # (N, F)
         return jnp.concatenate(feats, axis=-1)  # (N, L*F)
 
 

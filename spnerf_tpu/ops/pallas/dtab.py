@@ -75,10 +75,15 @@ def _kernel(ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F, ta, dtype):
             oh_at, g, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "F", "f32", "interpret"))
-def dtab_pallas(ids, ct, T, F, f32=False, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("T", "F", "f32", "interpret", "fmajor"))
+def dtab_pallas(ids, ct, T, F, f32=False, interpret=False, fmajor=False):
     """Scatter-add equivalent on the MXU: (M,) int32 ids in [0, T), (M, F)
     f32 cotangent rows -> (T, F) f32 table gradient.
+
+    fmajor=True: ct arrives FEATURE-MAJOR (F, M) and the gradient returns
+    (F, T) — the layout the flat F-major table storage uses; the kernel is
+    unchanged (only the cheap pre/post shuffles differ).
 
     Requires T and F powers of two with T >= LANES // F (callers fall back to
     the XLA paths below that — see models/hashgrid.py)."""
@@ -92,10 +97,15 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False):
     pad = (-M) % MBLK
     if pad:  # padded ids hit row 0 with ct = 0: contributes zero
         ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
-        ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
+        if fmajor:
+            ct = jnp.concatenate([ct, jnp.zeros((F, pad), ct.dtype)], axis=1)
+        else:
+            ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
     mp = M + pad
     ids = ids.astype(jnp.int32)
     ct = ct.astype(jnp.float32)
+    if fmajor:
+        ct = ct.T  # (mp, F) for the kernel's block specs
 
     out = pl.pallas_call(
         functools.partial(_kernel, B=B, F=F, ta=ta, dtype=dtype),
@@ -121,6 +131,8 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False):
         interpret=interpret,
     )(ids.reshape(1, mp), ids.reshape(mp, 1), ct)
     # out[a, f*B + b] = dtab[a*B + b, f]
+    if fmajor:  # (F, T): contiguous B-lane blocks move — tile-friendly
+        return out.reshape(A, F, B).transpose(1, 0, 2).reshape(F, T)
     return out.reshape(A, F, B).transpose(0, 2, 1).reshape(T, F)
 
 
@@ -198,13 +210,20 @@ def _win_kernel_acc(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B,
             oh, g, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret"))
-def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret",
+                                             "fmajor"))
+def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
+                       fmajor=False):
     """Exact scatter-add equivalent, FLOP-reduced: sort rows by id, evaluate
     each mblk block against the aligned 2*WIN-wide one-hot window covering
     its leading row (one (2W, m) x (m, B*F) dot per block), scatter the
     per-block partials at WIN-tile granularity, and fix any overflow tail
     with a conditional scatter-add.
+
+    fmajor=True: ct arrives FEATURE-MAJOR (F, M) and the gradient returns
+    (F, T) — the sort's payload extracts become contiguous row slices
+    instead of strided column reads, and the kernel-output unscramble moves
+    contiguous B-lane blocks.
 
     Callers should gate on A = T*F/LANES >= ~16*WIN (below that the dense
     kernel's FLOP surplus is too small to pay for the sort)."""
@@ -220,7 +239,10 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
     if pad:  # pad with the largest id so sorted order puts them last
         ids = jnp.concatenate(
             [ids, jnp.full((pad,), T - 1, ids.dtype)])
-        ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
+        if fmajor:
+            ct = jnp.concatenate([ct, jnp.zeros((F, pad), ct.dtype)], axis=1)
+        else:
+            ct = jnp.concatenate([ct, jnp.zeros((pad, F), ct.dtype)])
     mp = M + pad
     nm = mp // mblk
     ct = ct.astype(jnp.float32)
@@ -233,10 +255,11 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
         ids_s, perm = jax.lax.sort(
             (ids.astype(jnp.int32), jnp.arange(mp, dtype=jnp.int32)),
             num_keys=1)
-        ct_s = jnp.take(ct, perm, axis=0)
+        ct_s = jnp.take(ct.T if fmajor else ct, perm, axis=0)
     else:
-        ops = jax.lax.sort((ids.astype(jnp.int32),)
-                           + tuple(ct[:, j] for j in range(F)), num_keys=1)
+        cols = (tuple(ct[j] for j in range(F)) if fmajor
+                else tuple(ct[:, j] for j in range(F)))
+        ops = jax.lax.sort((ids.astype(jnp.int32),) + cols, num_keys=1)
         ids_s = ops[0]
         ct_s = jnp.stack(ops[1:], axis=-1)
     ia = ids_s // B
@@ -324,13 +347,39 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False):
         aw = jnp.zeros((A // WIN + 1, WIN, F * B), jnp.float32)
         aw = aw.at[widx].add(partials.reshape(nm, 2, WIN, F * B))
         out = aw[:A // WIN].reshape(A, F, B)
-    dtab = out.transpose(0, 2, 1).reshape(T, F)
+    if fmajor:  # (F, T): contiguous B-lane blocks move — tile-friendly
+        dtab = out.transpose(1, 0, 2).reshape(F, T)
+    else:
+        dtab = out.transpose(0, 2, 1).reshape(T, F)
 
-    def with_tail(_):
+    # SPNERF_HASH_SW_TAIL=0: MEASUREMENT ONLY — drops the exactness
+    # fallback to attribute the XLA `conditional` cost in profiles
+    if os.environ.get("SPNERF_HASH_SW_TAIL", "1") == "0":
+        return dtab
+    # The cond returns only the tail DELTA, added outside: routing `dtab`
+    # itself through the cond let XLA sink the whole downstream (L, T*F)
+    # table-gradient accumulation into the branches, turning three of the
+    # per-step conditionals into 168 MB copies (12.6-13.7 ms/step EACH —
+    # profiled; skipping the fallback entirely measured 238.6 vs 254.8
+    # ms/step integrated). With the delta form the branch result is one
+    # (T, F) tile and the add fuses outside.
+    def tail_delta(ops):
+        ids_s, ct_s, tail = ops
         t_ct = jnp.where(tail[:, None], ct_s, 0.0)
-        return dtab + jnp.zeros((T, F), jnp.float32).at[ids_s].add(t_ct)
+        if fmajor:
+            return jnp.zeros((F, T), jnp.float32).at[:, ids_s].add(t_ct.T)
+        return jnp.zeros((T, F), jnp.float32).at[ids_s].add(t_ct)
 
-    return jax.lax.cond(jnp.any(tail), with_tail, lambda _: dtab, None)
+    delta = jax.lax.cond(jnp.any(tail), tail_delta,
+                         lambda ops: jnp.zeros(
+                             (F, T) if fmajor else (T, F), jnp.float32),
+                         (ids_s, ct_s, tail))
+    # The remaining ~0.6 ms/cond (12.6 ms/step over 21 calls, measured by
+    # SPNERF_HASH_SW_TAIL=0: 238.6 vs 251.2 ms/step) is the data-dependent
+    # branch itself — the sequencer synchronizes on the predicate — not code
+    # motion: adding an optimization_barrier after the cond changed nothing
+    # (251.26). That cost is the price of the exactness guarantee.
+    return dtab + delta
 
 
 # ------------------------------------------------- batched (cross-level) form
@@ -440,12 +489,19 @@ def dtab_sorted_window_batched(ids, ct, T, F, mblk=None, interpret=False):
     out = aw[:, :A // WIN].reshape(L, A, F, B)
     dtab = out.transpose(0, 1, 3, 2).reshape(L, T, F)
 
-    def with_tail(_):
+    # delta-form cond (see dtab_sorted_window): keep dtab and its consumers
+    # out of the branches so XLA cannot sink the table-gradient
+    # accumulation into the conditional
+    def tail_delta(ops):
+        ids_s, ct_s, tail = ops
         t_ct = jnp.where(tail.reshape(L, mp)[..., None], ct_s, 0.0)
         flat_ids = (jnp.arange(L, dtype=jnp.int32)[:, None] * T
                     + ids_s).reshape(-1)
         fix = jnp.zeros((L * T, F), jnp.float32).at[flat_ids].add(
             t_ct.reshape(-1, F))
-        return dtab + fix.reshape(L, T, F)
+        return fix.reshape(L, T, F)
 
-    return jax.lax.cond(jnp.any(tail), with_tail, lambda _: dtab, None)
+    delta = jax.lax.cond(jnp.any(tail), tail_delta,
+                         lambda ops: jnp.zeros((L, T, F), jnp.float32),
+                         (ids_s, ct_s, tail))
+    return dtab + delta

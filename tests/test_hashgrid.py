@@ -193,8 +193,9 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
     params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
     out = np.asarray(enc.apply(params, jnp.asarray(xyz)))
 
-    # flat (L, T*F) storage is row-major-identical to (L, T, F)
-    tab = np.asarray(params["params"]["table"]).reshape(L, -1, F)
+    # flat (L, T*F) storage is FEATURE-MAJOR: row[f*T + t]
+    tab = np.asarray(params["params"]["table"]).reshape(
+        L, F, -1).transpose(0, 2, 1)
     b = np.exp((np.log(8) - np.log(4)) / (L - 1))
     x01 = np.clip((xyz + 1.0) * 0.5, 0.0, 1.0)
     for l in range(L):
@@ -244,8 +245,9 @@ def test_flat_table_matches_tf_storage(rng, impl):
     """Flat (L, T*F) table storage (the default; avoids TPU layout padding
     on the narrow F-minor shape) is numerically identical to (T, F)
     storage: same forward and same table/position gradients when the flat
-    params are the row-major reshape of the (T, F) params. Covers hashed
-    AND direct-coarse levels (t_eff < T prefix slicing)."""
+    params are the FEATURE-MAJOR reorder (per-level (T, F) -> (F, T)
+    transpose) of the (T, F) params. Covers hashed AND direct-coarse
+    (t_eff < T prefix slicing) levels."""
     xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
     kw = dict(n_levels=4, n_features=2, log2_table_size=12,
               base_resolution=4, max_resolution=64, impl=impl)
@@ -255,7 +257,8 @@ def test_flat_table_matches_tf_storage(rng, impl):
     params_tf = jax.tree_util.tree_map(lambda t: t * 1e4, params_tf)
     L = kw["n_levels"]
     params_fl = {"params": {
-        "table": params_tf["params"]["table"].reshape(L, -1)}}
+        "table": jnp.transpose(params_tf["params"]["table"],
+                               (0, 2, 1)).reshape(L, -1)}}
 
     out_tf = enc_tf.apply(params_tf, xyz)
     out_fl = enc_fl.apply(params_fl, xyz)
@@ -271,11 +274,52 @@ def test_flat_table_matches_tf_storage(rng, impl):
             params_fl, xyz)
     np.testing.assert_allclose(
         np.asarray(gt_fl["params"]["table"]),
-        np.asarray(gt_tf["params"]["table"]).reshape(L, -1),
+        np.asarray(jnp.transpose(gt_tf["params"]["table"],
+                                 (0, 2, 1))).reshape(L, -1),
         rtol=1e-5, atol=1e-5)
     ref = np.asarray(gx_tf)
     np.testing.assert_allclose(np.asarray(gx_fl), ref,
                                rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
+def test_flat_fmajor_matches_tmajor(rng, monkeypatch, impl):
+    """SPNERF_HASH_FMAJOR=1 (feature-major flat rows, row[f*T+t]) is
+    numerically identical to the default t-major flat storage when the
+    params are the per-level (T, F) -> (F, T) transpose: same forward and
+    same table/position gradients, covering hashed and direct-coarse
+    (t_eff < T prefix) levels."""
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
+    kw = dict(n_levels=4, n_features=2, log2_table_size=12,
+              base_resolution=4, max_resolution=64, impl=impl)
+    enc = HashGridEncoding(flat_table=True, **kw)
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+    L, F, T = 4, 2, 2 ** 12
+    g = jnp.asarray(rng.normal(size=(517, L * F)).astype(np.float32))
+
+    monkeypatch.setenv("SPNERF_HASH_FMAJOR", "0")
+    out_t = enc.apply(params, xyz)
+    gt_t, gx_t = jax.grad(lambda p, x: jnp.sum(enc.apply(p, x) * g),
+                          argnums=(0, 1))(params, xyz)
+
+    tab = params["params"]["table"].reshape(L, T, F)
+    params_f = {"params": {
+        "table": jnp.transpose(tab, (0, 2, 1)).reshape(L, -1)}}
+    monkeypatch.setenv("SPNERF_HASH_FMAJOR", "1")
+    out_f = enc.apply(params_f, xyz)
+    gt_f, gx_f = jax.grad(lambda p, x: jnp.sum(enc.apply(p, x) * g),
+                          argnums=(0, 1))(params_f, xyz)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_t),
+                               rtol=1e-6, atol=1e-6)
+    gtf = np.asarray(gt_f["params"]["table"]).reshape(L, F, T)
+    gtt = np.asarray(gt_t["params"]["table"]).reshape(L, T, F)
+    np.testing.assert_allclose(gtf, np.transpose(gtt, (0, 2, 1)),
+                               rtol=1e-5, atol=1e-5)
+    ref = np.asarray(gx_t)
+    np.testing.assert_allclose(np.asarray(gx_f), ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
 
 
 def test_fused_vjp_hash_field_trains(rng):

@@ -142,6 +142,35 @@ def test_dtab_sorted_window_matches_scatter(rng, monkeypatch, acc):
         dtab_sorted_window.clear_cache()
 
 
+def test_dtab_fmajor_matches_scatter(rng):
+    """fmajor=True variants (feature-major (F, M) cotangent in, (F, T)
+    gradient out — the flat F-major table storage's orientation) == the
+    transposed scatter-add, for both the dense kernel and the sorted-window
+    path including a forced tail (interpret mode)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_pallas, dtab_sorted_window
+
+    T, F, M = 2 ** 15, 4, 8192
+    ids = jnp.asarray(rng.integers(0, T, M).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(M, F)).astype(np.float32))
+    ref = jnp.zeros((T, F), jnp.float32).at[ids].add(ct)
+
+    out = dtab_pallas(ids, ct.T, T, F, f32=True, fmajor=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).T, atol=1e-4)
+
+    out = dtab_sorted_window(ids, ct.T, T, F, fmajor=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).T, atol=1e-3)
+
+    # forced tail: duplicate-heavy block bridging to a far id
+    ids2 = np.zeros((2048,), np.int32)
+    ids2[-1] = T - 1
+    ct2 = jnp.asarray(rng.normal(size=(2048, F)).astype(np.float32))
+    ref2 = jnp.zeros((T, F), jnp.float32).at[jnp.asarray(ids2)].add(ct2)
+    out2 = dtab_sorted_window(jnp.asarray(ids2), ct2.T, T, F, fmajor=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2).T,
+                               atol=1e-3)
+
+
 def test_dtab_sorted_window_batched_matches_scatter(rng):
     """Batched cross-level sorted-window == L independent scatter-adds,
     including a level whose ids concentrate in few rows (direct-coarse-like)
