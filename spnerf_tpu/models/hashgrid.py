@@ -261,6 +261,95 @@ def _take_matmul_ft_bwd(res, ct):
 _take_matmul_ft.defvjp(_take_matmul_ft_fwd, _take_matmul_ft_bwd)
 
 
+def _take_ft_multi(table, idxs, t_effs, T, F):
+    """All levels' F-major takes through ONE custom VJP whose backward
+    applies a SINGLE merged tail conditional instead of one per level.
+
+    REFUTED on the v5e, kept opt-in (SPNERF_HASH_MERGED_TAIL=1): the
+    hypothesis was that merging the 21 per-level tail conds (each ~0.6 ms
+    of sequencer sync — see ops/pallas/dtab.py) into one per pass would
+    recover ~11 ms/step. Measured integrated: 251.3 vs 220.1 ms/step — the
+    backward's explicit jnp.stack of the (L, T*F) cotangent plus the
+    per-level pads cost far more than the 18 saved cond syncs; autodiff's
+    own accumulation of per-level padded contributions is cheaper than
+    assembling the array by hand. Same lesson as the batched cross-level
+    dtab refutation: don't serialize or materialize what XLA already
+    overlaps and fuses."""
+    return _TakeFtMulti(tuple(t_effs), T, F)(table, tuple(idxs))
+
+
+@functools.lru_cache(maxsize=None)
+def _TakeFtMulti(t_effs, T, F):
+    L = len(t_effs)
+
+    @jax.custom_vjp
+    def take(table, idxs):
+        outs = []
+        for l, t_eff in enumerate(t_effs):
+            tab_ft = table[l].reshape(F, T)
+            if t_eff != T:
+                tab_ft = tab_ft[:, :t_eff]
+            outs.append(jnp.take(tab_ft, idxs[l], axis=1))  # (F, N, 8)
+        return tuple(outs)
+
+    def fwd(table, idxs):
+        return take(table, idxs), idxs
+
+    def bwd(idxs, cts):
+        import os
+
+        from ..ops.pallas.dtab import (LANES, dtab_sorted_window,
+                                       window_eligible)
+
+        use_pallas = (os.environ.get("SPNERF_HASH_MATMUL_PALLAS", "1") == "1"
+                      and jax.default_backend() not in ("cpu",)
+                      and F in (1, 2, 4, 8))
+        sw = os.environ.get("SPNERF_HASH_SORTED_WINDOW", "1") == "1"
+        rows, fixes = [], []
+        for l, t_eff in enumerate(t_effs):
+            ids = idxs[l].reshape(-1)
+            ct_fm = cts[l].reshape(F, -1).astype(jnp.float32)
+            # same per-level path choice as _matmul_dtab, but the window
+            # path defers its tail fix to the one merged cond below
+            if (use_pallas and sw and t_eff % (LANES // F) == 0
+                    and window_eligible(t_eff, F, ids.shape[0])):
+                d, pred, ids_s, t_ct = dtab_sorted_window(
+                    ids, ct_fm, t_eff, F, fmajor=True, defer_tail=True)
+                fixes.append((l, t_eff, pred, ids_s, t_ct))
+            else:
+                d = _matmul_dtab(ids, ct_fm, t_eff, F, fmajor=True)
+            if t_eff != T:
+                d = jnp.pad(d, ((0, 0), (0, T - t_eff)))
+            rows.append(d.reshape(-1))
+        dtab = jnp.stack(rows)  # (L, T*F)
+
+        if fixes:
+            pred = fixes[0][2]
+            for f in fixes[1:]:
+                pred = jnp.logical_or(pred, f[2])
+
+            def fix_fn(ops):
+                delta = jnp.zeros((L, T * F), jnp.float32)
+                for (l, t_eff, _, _, _), (ids_s, t_ct) in zip(fixes, ops):
+                    fx = jnp.zeros((F, t_eff), jnp.float32).at[
+                        :, ids_s].add(t_ct.T)
+                    if t_eff != T:
+                        fx = jnp.pad(fx, ((0, 0), (0, T - t_eff)))
+                    delta = delta.at[l].set(fx.reshape(-1))
+                return delta
+
+            ops = tuple((f[3], f[4]) for f in fixes)
+            delta = jax.lax.cond(
+                pred, fix_fn,
+                lambda ops: jnp.zeros((L, T * F), jnp.float32), ops)
+            dtab = dtab + delta
+        return dtab, tuple(np.zeros(i.shape, jax.dtypes.float0)
+                           for i in idxs)
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
 @jax.custom_vjp
 def _take_matmul(tab, idx):
     """jnp.take(tab, idx, axis=0) whose BACKWARD is the factorized one-hot
@@ -462,13 +551,27 @@ class HashGridEncoding(nn.Module):
             vals_all = _take_batched(
                 table, jnp.stack([p[0] for p in per_level]))  # (L, N, 8, F)
 
+        # all F-major takes through one custom VJP with ONE merged tail
+        # conditional — REFUTED (251.3 vs 220.1 ms/step, see
+        # _take_ft_multi), default off
+        use_ft_multi = (
+            fmajor and self.impl == "matmul_vjp"
+            and os.environ.get("SPNERF_HASH_MERGED_TAIL", "0") == "1")
+        if use_ft_multi:
+            vals_ft_all = _take_ft_multi(
+                table, tuple(p[0] for p in per_level),
+                tuple(p[2] for p in per_level), T, F)
+
         # phase 3: trilinear interpolation
         feats = []
         for l, (idx, frac, t_eff) in enumerate(per_level):
             if use_batched:
                 vals = vals_all[l]  # (N, 8, F)
             elif flat:
-                if fmajor:
+                if fmajor and use_ft_multi:
+                    vals_ft = vals_ft_all[l]  # (F, N, 8)
+                    vals = None
+                elif fmajor:
                     # FEATURE-MAJOR flat row: view as (F, T) (free bitcast),
                     # slice the level's t_eff prefix along the minor axis
                     # (lane-contiguous), gather COLUMNS. The gather's
@@ -479,6 +582,13 @@ class HashGridEncoding(nn.Module):
                     tab_ft = table[l].reshape(F, T)
                     if t_eff != T:
                         tab_ft = tab_ft[:, :t_eff]
+                    if os.environ.get("SPNERF_HASH_TAB_BARRIER", "0") == "1":
+                        # REFUTED: forcing the (F, T) view to materialize,
+                        # hoping post-layout CSE would share the per-gather
+                        # operand conversion (profiled: 2.6 ms x 24/step,
+                        # duplicated into each pass's gather fusion) across
+                        # passes, measured NEUTRAL: 220.0 vs 220.1 ms/step.
+                        tab_ft = jax.lax.optimization_barrier(tab_ft)
                     if self.impl == "matmul_vjp":
                         vals_ft = _take_matmul_ft(tab_ft, idx)  # (F, N, 8)
                     else:  # "xla": autodiff VJP is the native scatter-add

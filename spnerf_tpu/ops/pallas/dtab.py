@@ -211,9 +211,9 @@ def _win_kernel_acc(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret",
-                                             "fmajor"))
+                                             "fmajor", "defer_tail"))
 def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
-                       fmajor=False):
+                       fmajor=False, defer_tail=False):
     """Exact scatter-add equivalent, FLOP-reduced: sort rows by id, evaluate
     each mblk block against the aligned 2*WIN-wide one-hot window covering
     its leading row (one (2W, m) x (m, B*F) dot per block), scatter the
@@ -256,6 +256,39 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
             (ids.astype(jnp.int32), jnp.arange(mp, dtype=jnp.int32)),
             num_keys=1)
         ct_s = jnp.take(ct.T if fmajor else ct, perm, axis=0)
+    elif (os.environ.get("SPNERF_HASH_SW_BF16SORT", "0") == "1"
+          and F % 2 == 0):
+        # Round ct to bf16 and ride PAIRS of bf16 columns through the sort
+        # as bitcast f32 operands — 40% less sort payload traffic (keys 4B
+        # + 2*4B vs 4B + F*4B at F=4). The pack/unpack is exact; the only
+        # numerics change is the bf16 rounding of ct, the same rounding the
+        # XLA matmul fallback applies by default. Measured integrated:
+        # 218.9 vs 220.1 ms/step — within noise (the sort is not
+        # payload-bandwidth-bound), so this stays opt-in to keep the
+        # default gradient f32-exact.
+        cm = ct if fmajor else ct.T  # (F, mp)
+
+        def _pack(a, b):  # two f32 rows -> one u32 row of bf16 halves
+            ua = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            ub = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            return ua | (ub << 16)
+
+        def _unpack(u):  # u32 row -> two f32 rows
+            lo = jax.lax.bitcast_convert_type(
+                u.astype(jnp.uint16), jnp.bfloat16)
+            hi = jax.lax.bitcast_convert_type(
+                (u >> 16).astype(jnp.uint16), jnp.bfloat16)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+        packed = tuple(_pack(cm[2 * p], cm[2 * p + 1]) for p in range(F // 2))
+        ops = jax.lax.sort((ids.astype(jnp.int32),) + packed, num_keys=1)
+        ids_s = ops[0]
+        cols = []
+        for p in range(F // 2):
+            cols.extend(_unpack(ops[1 + p]))
+        ct_s = jnp.stack(cols, axis=-1)
     else:
         cols = (tuple(ct[j] for j in range(F)) if fmajor
                 else tuple(ct[:, j] for j in range(F)))
@@ -352,6 +385,12 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     else:
         dtab = out.transpose(0, 2, 1).reshape(T, F)
 
+    # defer_tail: return the unfixed dtab + the fix ingredients so the
+    # CALLER can apply ONE merged conditional across levels/passes — each
+    # data-dependent cond costs ~0.6 ms of sequencer sync (below)
+    if defer_tail:
+        t_ct = jnp.where(tail[:, None], ct_s, 0.0)
+        return dtab, jnp.any(tail), ids_s, t_ct
     # SPNERF_HASH_SW_TAIL=0: MEASUREMENT ONLY — drops the exactness
     # fallback to attribute the XLA `conditional` cost in profiles
     if os.environ.get("SPNERF_HASH_SW_TAIL", "1") == "0":

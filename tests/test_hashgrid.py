@@ -322,6 +322,38 @@ def test_flat_fmajor_matches_tmajor(rng, monkeypatch, impl):
                                atol=1e-4 * np.abs(ref).max())
 
 
+def test_merged_tail_multi_take_matches_default(rng, monkeypatch):
+    """SPNERF_HASH_MERGED_TAIL=1 (one custom VJP over all levels with a
+    single merged tail conditional — refuted for speed on the v5e, kept
+    opt-in) is numerically identical to the default per-level takes:
+    same forward, same table/position gradients."""
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(517, 3)).astype(np.float32))
+    enc = HashGridEncoding(n_levels=4, n_features=2, log2_table_size=12,
+                           base_resolution=4, max_resolution=64,
+                           impl="matmul_vjp")
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+    params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
+    g = jnp.asarray(rng.normal(size=(517, 8)).astype(np.float32))
+
+    monkeypatch.setenv("SPNERF_HASH_MERGED_TAIL", "0")
+    out0 = enc.apply(params, xyz)
+    gt0, gx0 = jax.grad(lambda p, x: jnp.sum(enc.apply(p, x) * g),
+                        argnums=(0, 1))(params, xyz)
+    monkeypatch.setenv("SPNERF_HASH_MERGED_TAIL", "1")
+    out1 = enc.apply(params, xyz)
+    gt1, gx1 = jax.grad(lambda p, x: jnp.sum(enc.apply(p, x) * g),
+                        argnums=(0, 1))(params, xyz)
+
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt1["params"]["table"]),
+                               np.asarray(gt0["params"]["table"]),
+                               rtol=1e-5, atol=1e-5)
+    ref = np.asarray(gx0)
+    np.testing.assert_allclose(np.asarray(gx1), ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+
+
 def test_fused_vjp_hash_field_trains(rng):
     """HashSPNeRF with the restructured-VJP encoding trains: grads flow into
     the table through the custom VJP inside the full renderer+loss graph."""

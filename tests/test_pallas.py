@@ -171,6 +171,38 @@ def test_dtab_fmajor_matches_scatter(rng):
                                atol=1e-3)
 
 
+def test_dtab_defer_tail_fix_ingredients(rng):
+    """defer_tail=True returns (unfixed dtab, any_tail, sorted ids, masked
+    cotangent rows) such that dtab + scatter(ids_s, t_ct) == the exact
+    scatter-add — the contract the merged-tail multi-level VJP
+    (models/hashgrid._take_ft_multi) builds its single conditional on.
+    Forced-tail and no-tail cases (interpret mode)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window
+
+    T, F = 2 ** 15, 4
+    # forced tail: duplicate-heavy block bridging to a far id
+    ids = np.zeros((2048,), np.int32)
+    ids[-1] = T - 1
+    ct = jnp.asarray(rng.normal(size=(2048, F)).astype(np.float32))
+    ref = jnp.zeros((T, F), jnp.float32).at[jnp.asarray(ids)].add(ct)
+    d, pred, ids_s, t_ct = dtab_sorted_window(
+        jnp.asarray(ids), ct.T, T, F, fmajor=True, defer_tail=True,
+        interpret=True)
+    assert bool(pred)
+    fixed = d + jnp.zeros((F, T), jnp.float32).at[:, ids_s].add(t_ct.T)
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(ref).T,
+                               atol=1e-3)
+
+    # no tail: uniform ids — pred False and dtab already exact
+    ids2 = jnp.asarray(rng.integers(0, T, 70000).astype(np.int32))
+    ct2 = jnp.asarray(rng.normal(size=(70000, F)).astype(np.float32))
+    ref2 = jnp.zeros((T, F), jnp.float32).at[ids2].add(ct2)
+    d2, pred2, _, t_ct2 = dtab_sorted_window(
+        ids2, ct2.T, T, F, fmajor=True, defer_tail=True, interpret=True)
+    assert not bool(pred2) and not np.asarray(t_ct2).any()
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ref2).T, atol=1e-3)
+
+
 def test_dtab_sorted_window_batched_matches_scatter(rng):
     """Batched cross-level sorted-window == L independent scatter-adds,
     including a level whose ids concentrate in few rows (direct-coarse-like)
