@@ -469,12 +469,22 @@ class HashGridEncoding(nn.Module):
         import os
 
         fmajor = flat and os.environ.get("SPNERF_HASH_FMAJOR", "1") == "1"
+        # REFUTED (env-gated): parking the param as 3-D (L, F, T) — bytes
+        # identical to the F-major flat row — hoping XLA would propagate
+        # the gather's preferred tiled layout into the while-loop carry,
+        # measured 297.1 vs 220.1 ms/step: the carry layout XLA picks for
+        # the 3-D shape hurts far more than the per-gather conversions it
+        # was meant to remove. The flat 1-D row stays the storage shape.
+        fm3d = fmajor and os.environ.get("SPNERF_HASH_FM3D", "0") == "1"
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
                                                   -1e-4, 1e-4),
-            (L, T * F) if flat else (L, T, F),
+            (L, F, T) if fm3d else (L, T * F) if flat else (L, T, F),
         )
+        table3d = table if fm3d else None
+        if fm3d:  # bit-identical flat view for the non-gather consumers
+            table = table.reshape(L, T * F)
 
         xyz = jnp.asarray(xyz, jnp.float32)
         frame = None
@@ -579,7 +589,8 @@ class HashGridEncoding(nn.Module):
                     # F-major-tiled — this storage hands it that order
                     # without the {1,0}->{0,1} conversion copies the t-major
                     # reshape path pays (profiled at 33 ms/step at T=2^19).
-                    tab_ft = table[l].reshape(F, T)
+                    tab_ft = (table3d[l] if fm3d
+                              else table[l].reshape(F, T))
                     if t_eff != T:
                         tab_ft = tab_ft[:, :t_eff]
                     if os.environ.get("SPNERF_HASH_TAB_BARRIER", "0") == "1":
