@@ -253,6 +253,13 @@ def _watchdog_supervise(args, argv):
     if "--auto_resume" not in cmd:
         cmd.append("--auto_resume")
     env = dict(os.environ, SPNERF_WATCHDOG_CHILD="1")
+    # `-m spnerf_tpu.cli.train` must resolve regardless of the cwd the user
+    # launched main.py from (running `python /path/to/main.py` from
+    # elsewhere left the package unimportable in the child: 20 failed
+    # relaunches on hardware before this fix)
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     metrics_path = os.path.join(args.logs_dir, "metrics.jsonl")
     poll_s = max(min(args.watchdog / 10.0, 5.0), 0.05)
 

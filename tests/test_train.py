@@ -156,6 +156,12 @@ def test_cli_watchdog_recovers_from_hang(dfc269_root, tmp_path, monkeypatch):
     # the supervised children are fresh interpreters: pin them to CPU (the
     # in-process jax.config pin from conftest does not reach a subprocess)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    # launch from OUTSIDE the repo: the relaunch runs `-m
+    # spnerf_tpu.cli.train` in a fresh interpreter, which must resolve the
+    # package via the injected PYTHONPATH regardless of the user's cwd
+    # (regression: 20 failed relaunches on hardware when main.py was
+    # invoked by absolute path from another directory)
+    monkeypatch.chdir(tmp_path)
     if True:
         rc = train_main([
             "--aoi_id", "JAX_269", "--model", "sp-nerf", "--exp_name", "wd",
