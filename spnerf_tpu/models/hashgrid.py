@@ -193,49 +193,15 @@ def _matmul_dtab(ids, ct, T, F, fmajor=False):
 #   (L, T, F) storage                 266.6 ms/step
 #   flat t-major + (t_eff, F) reshape 251.2 ms/step (SPNERF_HASH_FMAJOR=0)
 #   flat F-MAJOR (F, T) view          220.1 ms/step (the default)
-# The no-reshape t-major alternative (_gather_slices: F-element slice
-# gather straight off the flat row at offsets id*F,
-# SPNERF_HASH_FLAT_GATHER=1) was REFUTED hard: 735 ms/step — XLA lowers the
-# 1-D multi-slice gather far worse than a 2-D-operand gather.
-
-
-def _gather_slices(row, idx, F):
-    """(Teff*F,) flat table row, (N, 8) int32 ids -> (N, 8, F): F-element
-    slices at offsets id*F (== jnp.take(row.reshape(-1, F), idx, axis=0))."""
-    starts = (idx.reshape(-1) * F)[:, None]
-    out = jax.lax.gather(
-        row, starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(),
-            start_index_map=(0,)),
-        slice_sizes=(F,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    return out.reshape(*idx.shape, F)
-
-
-def _take_flat_matmul(row, idx, F):
-    return _TakeFlatMatmul(F)(row, idx)
-
-
-@functools.lru_cache(maxsize=None)
-def _TakeFlatMatmul(F):
-    @jax.custom_vjp
-    def take(row, idx):
-        return _gather_slices(row, idx, F)
-
-    def fwd(row, idx):
-        return take(row, idx), (idx, row.shape[0])
-
-    def bwd(res, ct):
-        idx, n = res
-        dtab = _matmul_dtab(idx.reshape(-1),
-                            ct.reshape(-1, F).astype(jnp.float32), n // F, F)
-        # (T, F) -> flat row-major (T*F,): fuses into the dtab producer's
-        # final transpose, no extra pass
-        return dtab.reshape(-1), np.zeros(idx.shape, jax.dtypes.float0)
-
-    take.defvjp(fwd, bwd)
-    return take
+# Two more refuted variants live only in git history (folded, like the
+# round-2 fused training kernels):
+#  - F-element slice gather straight off the flat 1-D row at offsets id*F:
+#    735 ms/step — XLA lowers a 1-D multi-slice gather ~3x worse than the
+#    2-D-operand gather (was _gather_slices/_take_flat_matmul).
+#  - Param parked as 3-D (L, F, T), bytes identical to the flat row,
+#    hoping XLA propagates the gather's tiled layout into the loop carry:
+#    297.1 ms/step — the 3-D carry layout costs more than the per-gather
+#    conversions it removes (was SPNERF_HASH_FM3D).
 
 
 @jax.custom_vjp
@@ -469,22 +435,12 @@ class HashGridEncoding(nn.Module):
         import os
 
         fmajor = flat and os.environ.get("SPNERF_HASH_FMAJOR", "1") == "1"
-        # REFUTED (env-gated): parking the param as 3-D (L, F, T) — bytes
-        # identical to the F-major flat row — hoping XLA would propagate
-        # the gather's preferred tiled layout into the while-loop carry,
-        # measured 297.1 vs 220.1 ms/step: the carry layout XLA picks for
-        # the 3-D shape hurts far more than the per-gather conversions it
-        # was meant to remove. The flat 1-D row stays the storage shape.
-        fm3d = fmajor and os.environ.get("SPNERF_HASH_FM3D", "0") == "1"
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
                                                   -1e-4, 1e-4),
-            (L, F, T) if fm3d else (L, T * F) if flat else (L, T, F),
+            (L, T * F) if flat else (L, T, F),
         )
-        table3d = table if fm3d else None
-        if fm3d:  # bit-identical flat view for the non-gather consumers
-            table = table.reshape(L, T * F)
 
         xyz = jnp.asarray(xyz, jnp.float32)
         frame = None
@@ -589,8 +545,7 @@ class HashGridEncoding(nn.Module):
                     # F-major-tiled — this storage hands it that order
                     # without the {1,0}->{0,1} conversion copies the t-major
                     # reshape path pays (profiled at 33 ms/step at T=2^19).
-                    tab_ft = (table3d[l] if fm3d
-                              else table[l].reshape(F, T))
+                    tab_ft = table[l].reshape(F, T)
                     if t_eff != T:
                         tab_ft = tab_ft[:, :t_eff]
                     if os.environ.get("SPNERF_HASH_TAB_BARRIER", "0") == "1":
@@ -606,28 +561,15 @@ class HashGridEncoding(nn.Module):
                         vals_ft = jnp.take(tab_ft, idx, axis=1)
                     vals = None
                 else:
-                    # contiguous t_eff*F prefix of the flat row
-                    # (direct-coarse levels address [0, t_eff) exactly as in
-                    # (T, F) storage)
+                    # t-major flat (SPNERF_HASH_FMAJOR=0, measurement-only):
+                    # contiguous t_eff*F prefix of the flat row, reshaped to
+                    # (t_eff, F) for the proven row-gather programs
                     row = table[l] if t_eff == T else table[l][:t_eff * F]
-                    if os.environ.get("SPNERF_HASH_FLAT_GATHER", "0") == "1":
-                        # F-element slice gather straight off the flat row:
-                        # measured 735 ms/step integrated (vs 266 reshape) —
-                        # the TPU lowers the 1-D slice gather far worse than
-                        # the row gather off a (T, F) operand.
-                        if self.impl == "matmul_vjp":
-                            vals = _take_flat_matmul(row, idx, F)
-                        else:  # "xla": VJP is the slice scatter-add
-                            vals = _gather_slices(row, idx, F)
-                    else:
-                        # reshape to (t_eff, F) and reuse the proven
-                        # row-gather programs; the param, its gradient, and
-                        # the Adam carries stay on the clean linear layout
-                        take = {"sorted_vjp": _take_sorted,
-                                "matmul_vjp": _take_matmul}.get(
-                                    self.impl,
-                                    lambda t, i: jnp.take(t, i, axis=0))
-                        vals = take(row.reshape(t_eff, F), idx)  # (N, 8, F)
+                    take = {"sorted_vjp": _take_sorted,
+                            "matmul_vjp": _take_matmul}.get(
+                                self.impl,
+                                lambda t, i: jnp.take(t, i, axis=0))
+                    vals = take(row.reshape(t_eff, F), idx)  # (N, 8, F)
             else:
                 take = {"sorted_vjp": _take_sorted,
                         "matmul_vjp": _take_matmul}.get(
