@@ -161,7 +161,12 @@ def build_train_parser():
                    help="accepted for CLI compatibility; device selection is "
                         "handled by JAX")
     # training / network
-    p.add_argument("--lr", type=float, default=5e-4)
+    # default resolves per encoding: 5e-4 (siren — the reference's value,
+    # main.py:96) or 1e-2 (hash — NGP-style table lr; measured on the v5e:
+    # 5e-4 costs ~1.3 m DSM MAE on the tuned-depth 3k schedule)
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate (default: 5e-4 for siren, "
+                        "1e-2 for --encoding hash)")
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--img_downscale", type=float, default=1.0)
     p.add_argument("--max_train_steps", type=int, default=500000)
@@ -258,6 +263,11 @@ def build_train_parser():
 
 def finalize_args(args, make_dirs=True):
     """Derive dataset/output paths, mirroring /root/reference/modules/opt.py:112-137."""
+    if getattr(args, "lr", None) is None:
+        # per-encoding default (see the --lr flag comment); resolved here so
+        # opts.json records the value the run actually used
+        args.lr = 1e-2 if getattr(args, "encoding", "siren") == "hash" \
+            else 5e-4
     if args.dataset_dir is None:
         args.dataset_dir = os.path.join(args.project_dir, "dataset", args.dataset_name)
     args.depth_dir = os.path.join(args.dataset_dir, "Depth")

@@ -14,7 +14,6 @@ mod table size; features trilinearly interpolated, concatenated across levels.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import ModelConfig
-from .spnerf import TorchDense, torch_linear_init
+from .spnerf import TorchDense
 
 # numpy at module scope: creating jnp arrays at import time initializes the
 # JAX backends, which permanently defeats a later jax_platforms=cpu pin

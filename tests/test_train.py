@@ -138,6 +138,25 @@ def test_scan_matches_stepwise(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_lr_default_resolves_per_encoding(tmp_path):
+    """--lr defaults per encoding: 5e-4 for siren (the reference's value,
+    main.py:96) and 1e-2 for hash (NGP-style table lr — measured on the
+    v5e: 5e-4 costs ~1.3 m DSM MAE on the tuned-depth 3k schedule).
+    Explicit --lr always wins."""
+    from spnerf_tpu.config import build_train_parser, finalize_args
+
+    base = ["--aoi_id", "JAX_269", "--model", "sp-nerf",
+            "--project_dir", str(tmp_path)]
+    p = build_train_parser()
+    assert finalize_args(p.parse_args(base), make_dirs=False).lr == 5e-4
+    assert finalize_args(
+        p.parse_args(base + ["--encoding", "hash"]),
+        make_dirs=False).lr == 1e-2
+    assert finalize_args(
+        p.parse_args(base + ["--encoding", "hash", "--lr", "3e-3"]),
+        make_dirs=False).lr == 3e-3
+
+
 def test_cli_watchdog_recovers_from_hang(dfc269_root, tmp_path, monkeypatch):
     """--watchdog N: a mid-run hang (mocked via SPNERF_TEST_HANG_ONCE) is
     detected by metrics.jsonl silence, the child is killed, and a relaunch
