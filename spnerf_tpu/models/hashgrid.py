@@ -527,7 +527,22 @@ class HashGridEncoding(nn.Module):
                 table, tuple(p[0] for p in per_level),
                 tuple(p[2] for p in per_level), T, F)
 
-        # phase 3: trilinear interpolation
+        # phase 3: trilinear interpolation.
+        # SPNERF_HASH_FM_FEATS (REFUTED, default off) keeps the interpolation
+        # FEATURE-MAJOR: the compiled step's HLO shows every f-major gather's
+        # result transposed to an (N·8, F){T(8,128)} layout for the n-major
+        # interpolation — 24 such transposes per step. =1 emits each level's
+        # features as (F, N) and concatenates to (L·F, N) with ONE transpose
+        # per field call (3/step); =2 adds an optimization_barrier on the
+        # stack so the transpose cannot fold back. Measured integrated at
+        # T=2^19 (v5e, round 3): =1 compiles to the BITWISE-IDENTICAL
+        # executable (XLA's transpose folding pushes the final .T back into
+        # the per-level einsums; warmup losses match to 17 digits) and =2 is
+        # neutral (214.9 vs 215.0 ms/step) — the gather-output transposes are
+        # fused and effectively free; the per-gather cost profiled earlier is
+        # the gather's random-access traffic itself, not the layout change.
+        fm_feats = (fmajor and not use_batched
+                    and os.environ.get("SPNERF_HASH_FM_FEATS", "0") != "0")
         feats = []
         for l, (idx, frac, t_eff) in enumerate(per_level):
             if use_batched:
@@ -581,9 +596,17 @@ class HashGridEncoding(nn.Module):
                 fd = frac[:, d: d + 1]  # (N, 1)
                 w = w * (cd * fd + (1.0 - cd) * (1.0 - fd))
             if fmajor and vals is None:
-                feats.append(jnp.einsum('nc,fnc->nf', w, vals_ft))  # (N, F)
+                if fm_feats:
+                    feats.append(jnp.einsum('nc,fnc->fn', w, vals_ft))  # (F, N)
+                else:
+                    feats.append(jnp.einsum('nc,fnc->nf', w, vals_ft))  # (N, F)
             else:
                 feats.append(jnp.sum(w[..., None] * vals, axis=1))  # (N, F)
+        if fm_feats:
+            out_fm = jnp.concatenate(feats, axis=0)  # (L*F, N)
+            if os.environ.get("SPNERF_HASH_FM_FEATS") == "2":
+                out_fm = jax.lax.optimization_barrier(out_fm)
+            return out_fm.T  # ONE (L*F, N) -> (N, L*F) transpose per call
         return jnp.concatenate(feats, axis=-1)  # (N, L*F)
 
 

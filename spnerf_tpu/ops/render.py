@@ -24,6 +24,11 @@ import jax.numpy as jnp
 # flagship step — 55.2 ms/step vs 51.0 with separate head-pruned passes
 # (round 3): the rgb/sky/sem head compute forced onto the 2S solar rows
 # outweighs the saved pass overhead, so separate passes stay the default.
+# ALSO slower on the full HASH config (round 3, T=2^19, batch 1024): 230.1
+# vs 215.0 ms/step — despite cutting the per-level table gathers from 24 to
+# 16 per step (the hypothesis: each gather pays a ~2.6 ms table-layout
+# conversion), the 3x-row encoding + unpruned heads cost more than the 8
+# removed gather conversions recover. Refuted for both field families.
 _NO_MERGE = _os.environ.get("SPNERF_NO_MERGE") == "1"
 _NO_PRUNE = _os.environ.get("SPNERF_NO_PRUNE") == "1"
 
