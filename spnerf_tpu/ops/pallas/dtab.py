@@ -210,6 +210,37 @@ def _win_kernel_acc(w_ref, ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B,
             oh, g, preferred_element_type=jnp.float32)
 
 
+def _win_kernel_acc_cols(w_ref, ids_row_ref, *rest, B, F, mblk, dtype):
+    """_win_kernel_acc with COLUMN operands: ids and the F sorted cotangent
+    columns all arrive as (1, m) rows — no (m, 1) id operand and no (m, F)
+    ct stack, which on the v5e cost an ~0.8 ms T(1024)->T(8,128) relayout
+    EACH per level-pass (profiled round 3). The B-side one-hot is built
+    TRANSPOSED, (B, m), directly from the (1, m) row, and contracted with
+    dot_general on its m axis — the MXU takes either operand order."""
+    ct_refs, out_ref = rest[:-1], rest[-1]
+    j = pl.program_id(0)
+    first = jnp.logical_or(
+        j == 0, w_ref[j] != w_ref[jnp.maximum(j - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = w_ref[j] * WIN
+    ids_row = ids_row_ref[:]  # (1, m)
+    ia = ids_row // B - base  # (1, m) window-relative one-hot rows
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * WIN, mblk), 0)
+    oh = (rows == ia).astype(dtype)  # (2W, m); rows outside [0, 2W) -> 0
+    ib = ids_row % B  # (1, m)
+    colsT = jax.lax.broadcasted_iota(jnp.int32, (B, mblk), 0)
+    oh_bt = (ib == colsT).astype(dtype)  # (B, m): one_hot_B, transposed
+    for f in range(F):
+        gt = oh_bt * ct_refs[f][:].astype(dtype)  # (B, m)
+        out_ref[0, :, f * B:(f + 1) * B] += jax.lax.dot_general(
+            oh, gt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("T", "F", "mblk", "interpret",
                                              "fmajor", "defer_tail"))
 def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
@@ -251,6 +282,7 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     # measured SLOWER integrated (366 vs 295 ms/step at T=2^19 — the (M, F)
     # row gather is itself row-latency-bound), so the F value columns are
     # carried as sort operands instead
+    cols_mode, ct_cols = False, None
     if os.environ.get("SPNERF_HASH_SW_ARGSORT", "0") == "1":
         ids_s, perm = jax.lax.sort(
             (ids.astype(jnp.int32), jnp.arange(mp, dtype=jnp.int32)),
@@ -294,22 +326,47 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
                 else tuple(ct[:, j] for j in range(F)))
         ops = jax.lax.sort((ids.astype(jnp.int32),) + cols, num_keys=1)
         ids_s = ops[0]
-        ct_s = jnp.stack(ops[1:], axis=-1)
+        # COLS mode (default; SPNERF_HASH_SW_COLS=0 reverts): keep the
+        # sorted cotangent as F separate (mp,) columns all the way into the
+        # kernel and the tail cond. The (mp, F) stack and the (mp, 1) id
+        # operand each cost an ~0.8 ms T(1024)->T(8,128) relayout copy per
+        # level-pass on the v5e (21 level-passes/step — profiled round 3);
+        # the column kernel needs neither. Measured integrated (full
+        # sp-nerf hash step, T=2^19, batch 1024): 179.8 vs 215.0 ms/step
+        # (+20% rays/s), numerics BITWISE identical (same per-element f32
+        # summation order — only operand marshalling changed).
+        ct_cols = ops[1:]
+        cols_mode = (os.environ.get("SPNERF_HASH_SW_COLS", "1") == "1"
+                     and not defer_tail
+                     and os.environ.get("SPNERF_HASH_SW_ACC", "1") == "1")
+        ct_s = None if cols_mode else jnp.stack(ct_cols, axis=-1)
     ia = ids_s // B
     w = ia[::mblk] // WIN  # (nm,) leading window index per block
     tail = (ia.reshape(nm, mblk)
             >= (w[:, None] + 2) * WIN).reshape(-1)  # rows the window misses
 
-    in_specs = [
-        pl.BlockSpec((1, mblk), lambda j, w_ref: (0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((mblk, 1), lambda j, w_ref: (j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((mblk, F), lambda j, w_ref: (j, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = (w.astype(jnp.int32), ids_s.reshape(1, mp),
-                ids_s.reshape(mp, 1), ct_s)
+    row_spec = pl.BlockSpec((1, mblk), lambda j, w_ref: (0, j),
+                            memory_space=pltpu.VMEM)
+    if cols_mode:
+        # ids and every sorted cotangent column ride in as (1, m) rows —
+        # no (mp, 1) or (mp, F) operands, hence none of their relayouts
+        in_specs = [row_spec] * (1 + F)
+        operands = ((w.astype(jnp.int32), ids_s.reshape(1, mp))
+                    + tuple(c.reshape(1, mp) for c in ct_cols))
+        kern = functools.partial(_win_kernel_acc_cols, B=B, F=F, mblk=mblk,
+                                 dtype=jnp.float32)
+    else:
+        in_specs = [
+            row_spec,
+            pl.BlockSpec((mblk, 1), lambda j, w_ref: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mblk, F), lambda j, w_ref: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (w.astype(jnp.int32), ids_s.reshape(1, mp),
+                    ids_s.reshape(mp, 1), ct_s)
+        kern = functools.partial(_win_kernel_acc, B=B, F=F, mblk=mblk,
+                                 dtype=jnp.float32)
 
     if os.environ.get("SPNERF_HASH_SW_ACC", "1") == "1":
         # accumulate in-kernel into per-WINDOW tiles (w is non-decreasing,
@@ -317,8 +374,7 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
         # drops nm -> A/WIN tiles and the XLA tile-scatter disappears.
         nw = A // WIN
         tiles = pl.pallas_call(
-            functools.partial(_win_kernel_acc, B=B, F=F, mblk=mblk,
-                              dtype=jnp.float32),
+            kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nm,),
@@ -403,8 +459,12 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     # ms/step integrated). With the delta form the branch result is one
     # (T, F) tile and the add fuses outside.
     def tail_delta(ops):
-        ids_s, ct_s, tail = ops
-        t_ct = jnp.where(tail[:, None], ct_s, 0.0)
+        ids_s, ct_like, tail = ops
+        # cols_mode passes the F sorted columns unstacked so the (mp, F)
+        # stack only materializes inside the (rare) taken branch
+        ct_full = (jnp.stack(ct_like, axis=-1) if isinstance(ct_like, tuple)
+                   else ct_like)
+        t_ct = jnp.where(tail[:, None], ct_full, 0.0)
         if fmajor:
             return jnp.zeros((F, T), jnp.float32).at[:, ids_s].add(t_ct.T)
         return jnp.zeros((T, F), jnp.float32).at[ids_s].add(t_ct)
@@ -412,7 +472,7 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     delta = jax.lax.cond(jnp.any(tail), tail_delta,
                          lambda ops: jnp.zeros(
                              (F, T) if fmajor else (T, F), jnp.float32),
-                         (ids_s, ct_s, tail))
+                         (ids_s, tuple(ct_cols) if cols_mode else ct_s, tail))
     # The remaining ~0.6 ms/cond (12.6 ms/step over 21 calls, measured by
     # SPNERF_HASH_SW_TAIL=0: 238.6 vs 251.2 ms/step) is the data-dependent
     # branch itself — the sequencer synchronizes on the predicate — not code

@@ -103,17 +103,21 @@ def test_dtab_pallas_matches_scatter(rng):
                                    atol=1e-4, err_msg=f"T={T} F={F} M={M}")
 
 
-@pytest.mark.parametrize("acc", ["1", "0"])
-def test_dtab_sorted_window_matches_scatter(rng, monkeypatch, acc):
+@pytest.mark.parametrize("acc,cols", [("1", "1"), ("1", "0"), ("0", "0")])
+def test_dtab_sorted_window_matches_scatter(rng, monkeypatch, acc, cols):
     """ops/pallas/dtab sorted-window path == scatter-add: uniform ids, skewed
     ids that force the tail scatter fallback, non-MBLK-multiple row counts,
     and ids concentrated in the last window — which for the accumulating
     variant (SPNERF_HASH_SW_ACC=1) leaves most window tiles unvisited,
-    pinning the visited-mask (interpret mode). The env is read at trace
-    time, so the jit cache is cleared per variant."""
+    pinning the visited-mask (interpret mode). Covers the default COLUMN
+    operands (SPNERF_HASH_SW_COLS=1, transposed B-side one-hot contracted
+    with dot_general), the stacked-(mp, F) variant, and the non-accumulating
+    tile-scatter fallback. The env is read at trace time, so the jit cache
+    is cleared per variant."""
     from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window
 
     monkeypatch.setenv("SPNERF_HASH_SW_ACC", acc)
+    monkeypatch.setenv("SPNERF_HASH_SW_COLS", cols)
     dtab_sorted_window.clear_cache()
 
     cases = []
