@@ -653,8 +653,10 @@ class HashSPNeRF(nn.Module):
             )
             labels = jnp.where(sem_labels < 0, cfg.num_sem_classes,
                                sem_labels).astype(jnp.int32)
+            from .spnerf import embed_lookup
+
             x_in = jnp.concatenate(
-                [x_in, jnp.take(table, labels, axis=0).astype(x_in.dtype)],
+                [x_in, embed_lookup(table, labels).astype(x_in.dtype)],
                 axis=-1)
 
         h = jax.nn.relu(dense(self.hidden)(x_in))

@@ -129,6 +129,26 @@ def siren(x, w0=1.0):
     return fast_sin(y.astype(jnp.float32)).astype(y.dtype)
 
 
+def embed_lookup(table, labels):
+    """`jnp.take(table, labels, axis=0)` for a SMALL embedding table whose
+    BACKWARD would otherwise be a row-latency-bound scatter-add on TPU
+    (profiled 0.57 ms/step each for the two (N=65536 -> 4 rows) semantic
+    embedding gradients on the flagship step). As a one-hot f32 matmul at
+    HIGHEST precision the lookup is exact (each output row sums exactly one
+    table row) and its backward is the transposed matmul — MXU work instead
+    of a scatter. CPU keeps the plain take (scatter is fine there);
+    SPNERF_EMB_MATMUL=0/1 overrides (1 pins the matmul branch in CPU
+    tests)."""
+    import os
+
+    mm = os.environ.get("SPNERF_EMB_MATMUL", "auto")
+    if mm == "0" or (mm == "auto" and jax.default_backend() in ("cpu",)):
+        return jnp.take(table, labels, axis=0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, table.shape[0]), 1)
+    oh = (labels[:, None] == iota).astype(table.dtype)
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+
+
 class SPNeRF(nn.Module):
     """The SP-NeRF radiance/semantics field.
 
@@ -182,7 +202,7 @@ class SPNeRF(nn.Module):
             labels = jnp.where(
                 sem_labels < 0, cfg.num_sem_classes, sem_labels
             ).astype(jnp.int32)
-            sem_emb = jnp.take(table, labels, axis=0)
+            sem_emb = embed_lookup(table, labels)
             x_in = jnp.concatenate([x_in, sem_emb.astype(x_in.dtype)], axis=-1)
 
         # trunk with skip connections (reference models/spnerf.py:202-209,323-330)
@@ -267,7 +287,7 @@ class TransientEmbedding(nn.Module):
             "embedding", lambda key, shape: jax.random.normal(key, shape),
             (self.vocab, self.dims),
         )
-        return jnp.take(table, jnp.asarray(ts, jnp.int32), axis=0)
+        return embed_lookup(table, jnp.asarray(ts, jnp.int32))
 
 
 def init_spnerf(key, cfg: ModelConfig, compute_dtype=jnp.float32):

@@ -16,7 +16,7 @@ All pieces are shape-static and jit-safe:
 import jax
 import jax.numpy as jnp
 
-from .sampling import sample_pdf
+from .sampling import masked_take_along_axis, sample_pdf
 
 
 def density_weights(sigmas, z_vals):
@@ -52,16 +52,19 @@ def _cum_weight_at(t_edges, w, t_query):
     )(t_edges, t_query)
     s = w.shape[-1]
     lo = jnp.clip(idx - 1, 0, s - 1)
-    left_edge = jnp.take_along_axis(t_edges, lo, axis=-1)
-    right_edge = jnp.take_along_axis(t_edges, jnp.clip(idx, 1, s), axis=-1)
+    # bin lookups as equality-masked sums (sampling.masked_take_along_axis):
+    # gather rows + scatter backwards are row-latency-bound on TPU, and this
+    # one IS differentiated (gradients flow to the proposal's w)
+    left_edge = masked_take_along_axis(t_edges, lo)
+    right_edge = masked_take_along_axis(t_edges, jnp.clip(idx, 1, s))
     frac = jnp.where(
         right_edge > left_edge,
         jnp.clip((t_query - left_edge) / jnp.maximum(right_edge - left_edge,
                                                      1e-12), 0.0, 1.0),
         1.0,
     )
-    base = jnp.take_along_axis(cw, lo, axis=-1)
-    wbin = jnp.take_along_axis(w, lo, axis=-1)
+    base = masked_take_along_axis(cw, lo)
+    wbin = masked_take_along_axis(w, lo)
     out = base + frac * wbin
     out = jnp.where(t_query <= t_edges[:, :1], 0.0, out)  # before histogram
     out = jnp.where(t_query >= t_edges[:, -1:], cw[:, -1:], out)

@@ -33,6 +33,26 @@ def stratified_z_vals(key, near, far, n_samples, perturb=1.0):
     return z_vals
 
 
+def masked_take_along_axis(x, idx):
+    """`jnp.take_along_axis(x, idx, axis=-1)` as an equality-one-hot masked
+    SUM: x (R, S), idx (R, n) -> (R, n). On TPU the (R, n)-from-(R, S) gather
+    is row-latency-bound and its VJP is a row scatter; the masked sum is
+    (R, n, S) fusable VPU work with an elementwise backward. Exact in the
+    forward (exactly one term per output survives the mask); the backward
+    accumulates duplicate-index cotangents in reduce order rather than
+    scatter order (f32-sum-order difference only). CPU keeps the plain take;
+    SPNERF_TAKE_REDUCE=0/1 overrides (1 pins the branch in CPU tests)."""
+    import os
+
+    mm = os.environ.get("SPNERF_TAKE_REDUCE", "auto")
+    if mm == "0" or (mm == "auto" and jax.default_backend() in ("cpu",)):
+        return jnp.take_along_axis(x, idx, axis=-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
+    mask = idx[..., None] == iota  # (R, n, S)
+    return jnp.sum(jnp.where(mask, x[:, None, :], jnp.zeros((), x.dtype)),
+                   axis=-1)
+
+
 def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
     """Inverse-CDF sampling of `n_importance` points from per-ray histograms.
 
@@ -62,10 +82,51 @@ def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
     below = jnp.clip(inds - 1, 0, m)
     above = jnp.clip(inds, 0, m)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=1)
+    # On TPU the four (R, n)-from-(R, M+1) bin lookups are row-latency-bound
+    # take_along_axis gathers — profiled 0.54 ms EACH on the flagship step
+    # (R=1024, n=64: 4.3 ms/step over the two guided_samples calls). Both cdf
+    # (cumsum of the non-negative pdf) and bins (sorted edges) are
+    # NON-DECREASING along the bin axis, so take(x, below) == max over the
+    # masked prefix x[..., :below+1] and take(x, above) == min over the
+    # masked suffix — four (R, n, M+1) where+reduce chains, pure fusable VPU
+    # work with no gather rows and no matmul (exact: max/min of a monotone
+    # sequence SELECTS the boundary element; ties select an equal value).
+    # SPNERF_PDF_LOOKUP selects take|reduce|matmul ("auto": reduce on
+    # accelerators, take on CPU). "matmul" — one-hot einsum on the MXU — is a
+    # measured REFUTATION kept for documentation: "rnm,rmc->rnc" lowers to R
+    # independent (n, M+1)x(M+1, 2) matmuls, far too small for the 128x128
+    # systolic array (241.1 vs 50.2 ms/step flagship, v5e round 3).
+    import os
+
+    mode = os.environ.get("SPNERF_PDF_LOOKUP", "auto")
+    if mode == "auto":
+        mode = "take" if jax.default_backend() in ("cpu",) else "reduce"
+    if mode == "reduce":
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m + 1), 2)
+        lo_m = iota <= below[..., None]  # (R, n, M+1)
+        hi_m = iota >= above[..., None]
+        big = jnp.asarray(jnp.inf, bins.dtype)
+        cdf_b, bins_b = cdf[:, None, :], bins[:, None, :]
+        cdf_lo = jnp.max(jnp.where(lo_m, cdf_b, -big), axis=-1)
+        bin_lo = jnp.max(jnp.where(lo_m, bins_b, -big), axis=-1)
+        cdf_hi = jnp.min(jnp.where(hi_m, cdf_b, big), axis=-1)
+        bin_hi = jnp.min(jnp.where(hi_m, bins_b, big), axis=-1)
+    elif mode == "matmul":
+        srcs = jnp.stack([cdf, bins], axis=-1)  # (R, M+1, 2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m + 1), 2)
+        oh_lo = (below[..., None] == iota).astype(bins.dtype)
+        oh_hi = (above[..., None] == iota).astype(bins.dtype)
+        lo = jnp.einsum("rnm,rmc->rnc", oh_lo, srcs,
+                        precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.einsum("rnm,rmc->rnc", oh_hi, srcs,
+                        precision=jax.lax.Precision.HIGHEST)
+        cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+        cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
+    else:
+        cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+        cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+        bin_lo = jnp.take_along_axis(bins, below, axis=1)
+        bin_hi = jnp.take_along_axis(bins, above, axis=1)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)

@@ -189,7 +189,13 @@ def semantic_loss(results, target_labels, lc: LossConfig):
             continue
         logits = results[f"sem_logits_{typ}"]  # (R, C)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+        # one-hot masked sum instead of take_along_axis: the (R, 1) gather
+        # and its (R,)-row scatter backward are row-latency-bound on TPU;
+        # the sum over C (= num classes, tiny) is fusable VPU work and its
+        # backward is elementwise. Exact: one term per row survives the mask.
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, logp.shape[-1]), 1)
+        nll = -jnp.sum(jnp.where(safe_labels[:, None] == iota_c, logp, 0.0),
+                       axis=-1)
         loss_dict[f"{typ}_ss"] = lc.ss_lambda * jnp.sum(nll * maskf) / denom
 
     total = sum(loss_dict.values()) if loss_dict else jnp.float32(0.0)

@@ -97,6 +97,82 @@ def test_sample_pdf_concentrates_mass():
     assert frac_in > 0.95  # eps smoothing leaks a little mass
 
 
+def test_sample_pdf_lookup_modes_match_take(monkeypatch):
+    """The TPU bin-lookup variants in sample_pdf == take_along_axis:
+    "reduce" (masked prefix-max / suffix-min over the monotone cdf/bins —
+    the accelerator default) and "matmul" (one-hot einsum, measurement-only).
+    Ties in bins (from sample_3sigma's clipping) are covered by duplicating
+    edges."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    bins_np = np.sort(rng.uniform(0, 2, (16, 65)), axis=-1).astype(np.float32)
+    bins_np[:4, 10:14] = bins_np[:4, 10:11]  # tied edges (clipped 3-sigma)
+    bins = jnp.asarray(bins_np)
+    weights = jnp.asarray(rng.uniform(0, 1, (16, 64)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    monkeypatch.setenv("SPNERF_PDF_LOOKUP", "take")
+    ref = sample_pdf(key, bins, weights, 32)
+    ref_det = sample_pdf(None, bins, weights, 32, det=True)
+    for mode in ("reduce", "matmul"):
+        monkeypatch.setenv("SPNERF_PDF_LOOKUP", mode)
+        out = sample_pdf(key, bins, weights, 32)
+        out_det = sample_pdf(None, bins, weights, 32, det=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(out_det), np.asarray(ref_det))
+
+
+def test_masked_take_along_axis_matches_take(monkeypatch):
+    """ops/sampling.masked_take_along_axis == take_along_axis, values AND
+    gradient wrt x (the proposal interlevel loss differentiates through it)."""
+    import jax
+
+    from spnerf_tpu.ops.sampling import masked_take_along_axis
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(9, 33)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 33, (9, 17)).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(9, 17)).astype(np.float32))
+
+    def loss(xx, env):
+        monkeypatch.setenv("SPNERF_TAKE_REDUCE", env)
+        return jnp.sum(masked_take_along_axis(xx, idx) * ct)
+
+    v0, g0 = jax.value_and_grad(lambda t: loss(t, "0"))(x)
+    v1, g1 = jax.value_and_grad(lambda t: loss(t, "1"))(x)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+    monkeypatch.setenv("SPNERF_TAKE_REDUCE", "1")
+    out = masked_take_along_axis(x, idx)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take_along_axis(x, idx, axis=-1)))
+
+
+def test_embed_lookup_matmul_matches_take(monkeypatch):
+    """models/spnerf.embed_lookup one-hot matmul == take, values AND table
+    gradient (the backward is the whole point: matmul instead of scatter)."""
+    import jax
+
+    from spnerf_tpu.models.spnerf import embed_lookup
+
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, 333).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(333, 7)).astype(np.float32))
+
+    def loss(tab, env):
+        monkeypatch.setenv("SPNERF_EMB_MATMUL", env)
+        return jnp.sum(embed_lookup(tab, labels) * ct)
+
+    v0, g0 = jax.value_and_grad(lambda t: loss(t, "0"))(table)
+    v1, g1 = jax.value_and_grad(lambda t: loss(t, "1"))(table)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+    e0 = embed_lookup(table, labels)
+    np.testing.assert_array_equal(np.asarray(e0),
+                                  np.asarray(jnp.take(table, labels, axis=0)))
+
+
 def test_sample_3sigma_bounds():
     low = jnp.array([0.2, 0.0, -1.0])
     high = jnp.array([0.8, 1.0, 2.0])
