@@ -689,8 +689,7 @@ class HashSPNeRF(nn.Module):
             out["rgb"] = jax.nn.sigmoid(d_rgb1(r)) * 1.002 - 0.001
 
         if "sun" in heads:
-            s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
-            s = jax.nn.relu(d_sun0(s))
+            s = jax.nn.relu(d_sun0(feats, sun_d))
             s = jax.nn.relu(d_sun1(s))
             out["sun_v"] = jax.nn.sigmoid(d_sun2(s))
 
@@ -699,8 +698,7 @@ class HashSPNeRF(nn.Module):
             out["sky"] = jax.nn.sigmoid(d_sky1(k))
 
         if cfg.beta and "beta" in heads:
-            bb = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
-            bb = jax.nn.relu(d_beta0(bb))
+            bb = jax.nn.relu(d_beta0(feats, t_emb))
             out["beta"] = jax.nn.softplus(d_beta1(bb))
 
         if cfg.sem and "sem" in heads:

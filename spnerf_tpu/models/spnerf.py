@@ -75,8 +75,19 @@ class TorchDense(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
+    def __call__(self, x, x2=None):
+        """x2: optional second operand, semantically
+        `concatenate([x, x2], -1) @ kernel`. On accelerators the concat is
+        SPLIT into two dots sharing the one kernel
+        (y = x@k[:d1] + x2@k[d1:]) so the (N, d1+d2) concat copy never
+        materializes (the flagship skip concat alone profiled 0.72 ms/step
+        as a standalone (131072, 575) bf16 copy). Param shapes and inits are
+        IDENTICAL either way (fan_in = d1+d2). Not bit-identical to the
+        concat path (the two partial dot products accumulate separately);
+        SPNERF_SPLIT_CONCAT=0/1 overrides the auto accelerator-only gate."""
+        import os
+
+        fan_in = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
         kernel_init = {
             "torch": torch_linear_init,
             "sine": sine_init,
@@ -86,11 +97,25 @@ class TorchDense(nn.Module):
         bias = self.param(
             "bias", _uniform_init(lambda _: 1.0 / np.sqrt(fan_in)), (self.features,)
         )
-        y = jnp.dot(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        sc = os.environ.get("SPNERF_SPLIT_CONCAT", "auto")
+        split = x2 is not None and (
+            sc == "1" or (sc == "auto"
+                          and jax.default_backend() not in ("cpu",)))
+        if x2 is not None and not split:
+            x = jnp.concatenate([x, x2.astype(x.dtype)], axis=-1)
+        if split:
+            d1 = x.shape[-1]
+            kc = kernel.astype(self.compute_dtype)
+            y = jnp.dot(x.astype(self.compute_dtype), kc[:d1],
+                        preferred_element_type=jnp.float32)
+            y = y + jnp.dot(x2.astype(self.compute_dtype), kc[d1:],
+                            preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
         # bias add in f32 (fused into the matmul epilogue), then activations
         # are carried in compute_dtype: with bf16 this halves the HBM traffic
         # of layer activations and their saved-for-backward copies — the step
@@ -211,9 +236,10 @@ class SPNeRF(nn.Module):
         h = dense(cfg.fc_units, first_init)(x_in)
         h = siren(h, 30.0) if cfg.siren else act(h)
         for i in range(1, cfg.fc_layers):
-            if i in cfg.skips:
-                h = jnp.concatenate([h, x_in], axis=-1)
-            h = dense(cfg.fc_units, trunk_init)(h)
+            # skip connection: the concat operand pair goes through
+            # TorchDense's split-concat path (no materialized concat on TPU)
+            skip_in = x_in if i in cfg.skips else None
+            h = dense(cfg.fc_units, trunk_init)(h, skip_in)
             h = act(h)
         shared = h
 
@@ -252,8 +278,8 @@ class SPNeRF(nn.Module):
 
         if "sun" in heads:
             # sun visibility branch (3 hidden siren layers, reference :234-241)
-            s = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
-            for layer in d_sun[:-1]:
+            s = act(d_sun[0](feats, sun_d))
+            for layer in d_sun[1:-1]:
                 s = act(layer(s))
             out["sun_v"] = jax.nn.sigmoid(d_sun[-1](s))
 
@@ -263,8 +289,7 @@ class SPNeRF(nn.Module):
             out["sky"] = jax.nn.sigmoid(d_sky1(k))
 
         if cfg.beta and "beta" in heads:
-            b = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
-            b = act(d_beta0(b))
+            b = act(d_beta0(feats, t_emb))
             out["beta"] = jax.nn.softplus(d_beta1(b))
 
         if cfg.sem and "sem" in heads:

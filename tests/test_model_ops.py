@@ -148,6 +148,38 @@ def test_masked_take_along_axis_matches_take(monkeypatch):
         np.asarray(out), np.asarray(jnp.take_along_axis(x, idx, axis=-1)))
 
 
+def test_split_concat_dense_matches_concat(monkeypatch):
+    """TorchDense(x, x2) split-dot path == concatenate-then-dot (same params;
+    accumulation-order difference only, so allclose not array_equal)."""
+    import jax
+
+    from spnerf_tpu.config import ModelConfig
+    from spnerf_tpu.models.spnerf import init_spnerf
+
+    cfg = ModelConfig(mapping=True, sem=True, num_sem_classes=3, beta=True,
+                      fc_units=64, fc_layers=4, skips=(2,), siren=True)
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    sun = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    t_emb = jnp.asarray(rng.normal(size=(64, cfg.t_embedding_dims))
+                        .astype(np.float32))
+    sem = jnp.asarray(rng.integers(-1, 3, 64).astype(np.int32))
+
+    monkeypatch.setenv("SPNERF_SPLIT_CONCAT", "0")
+    model, params = init_spnerf(jax.random.PRNGKey(0), cfg)
+    ref = model.apply(params, xyz, sun, t_emb, sem)
+    monkeypatch.setenv("SPNERF_SPLIT_CONCAT", "1")
+    model2, params2 = init_spnerf(jax.random.PRNGKey(0), cfg)
+    chex = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape and np.allclose(a, b),
+        params, params2))
+    assert chex  # identical param shapes AND values either way
+    out = model.apply(params, xyz, sun, t_emb, sem)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
 def test_embed_lookup_matmul_matches_take(monkeypatch):
     """models/spnerf.embed_lookup one-hot matmul == take, values AND table
     gradient (the backward is the whole point: matmul instead of scatter)."""
