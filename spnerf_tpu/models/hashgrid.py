@@ -226,6 +226,47 @@ def _take_matmul_ft_bwd(res, ct):
 _take_matmul_ft.defvjp(_take_matmul_ft_fwd, _take_matmul_ft_bwd)
 
 
+@jax.custom_vjp
+def _take_matmul_ft_bf16(tab_ft, idx):
+    """_take_matmul_ft with the gather reading a BF16 copy of the (F, T)
+    table view. The hash-step profile (174.9 ms config, T=2^19) shows gather
+    cost scales with OPERAND footprint, not just rows: 4.53 ms per 1M-row
+    gather from the (4, 524288) f32 hashed-level view vs 1.88 ms for the
+    same rows from a (4, 65536) direct-level view — the random columns
+    thrash whatever cache tier holds the table. Halving the operand to bf16
+    (optimization_barrier keeps the cast from fusing back into the gather,
+    which would re-read f32) targets exactly that. Values are quantized to
+    bf16 before trilinear interpolation (they feed bf16 matmuls anyway);
+    the table param, its gradient, and Adam state stay f32.
+
+    REFUTED on the v5e (kept opt-in, SPNERF_HASH_BF16_GATHER=1): integrated
+    full hash step 248.1 vs 174.9 ms/step (reproduced on a second run of
+    the cached executable) — the bf16 gather output's 2-byte-lane tiling
+    forces conversion/relayout work on the f32 interpolation side that
+    costs far more than the halved operand footprint saves. The footprint
+    observation itself still fits the profile (4.53 ms/1M-row gathers from
+    the 8 MB hashed-level view vs 1.88 ms from 64-256 KB direct-level
+    views), but exploiting it needs the narrow dtype to survive END-TO-END,
+    which the f32 trilinear weights prevent here."""
+    tab_bf = jax.lax.optimization_barrier(tab_ft.astype(jnp.bfloat16))
+    return jnp.take(tab_bf, idx, axis=1)
+
+
+def _take_matmul_ft_bf16_fwd(tab_ft, idx):
+    return _take_matmul_ft_bf16(tab_ft, idx), (idx, tab_ft.shape)
+
+
+def _take_matmul_ft_bf16_bwd(res, ct):
+    idx, (F, T) = res
+    dtab = _matmul_dtab(idx.reshape(-1),
+                        ct.reshape(F, -1).astype(jnp.float32), T, F,
+                        fmajor=True)
+    return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_matmul_ft_bf16.defvjp(_take_matmul_ft_bf16_fwd, _take_matmul_ft_bf16_bwd)
+
+
 def _take_ft_multi(table, idxs, t_effs, T, F):
     """All levels' F-major takes through ONE custom VJP whose backward
     applies a SINGLE merged tail conditional instead of one per level.
@@ -570,7 +611,14 @@ class HashGridEncoding(nn.Module):
                         # passes, measured NEUTRAL: 220.0 vs 220.1 ms/step.
                         tab_ft = jax.lax.optimization_barrier(tab_ft)
                     if self.impl == "matmul_vjp":
-                        vals_ft = _take_matmul_ft(tab_ft, idx)  # (F, N, 8)
+                        # SPNERF_HASH_BF16_GATHER=1: gather from a bf16 copy
+                        # of the view (halves the random-access operand
+                        # footprint — see _take_matmul_ft_bf16)
+                        if os.environ.get("SPNERF_HASH_BF16_GATHER",
+                                          "0") == "1":
+                            vals_ft = _take_matmul_ft_bf16(tab_ft, idx)
+                        else:
+                            vals_ft = _take_matmul_ft(tab_ft, idx)  # (F,N,8)
                     else:  # "xla": autodiff VJP is the native scatter-add
                         vals_ft = jnp.take(tab_ft, idx, axis=1)
                     vals = None

@@ -432,3 +432,39 @@ def test_multi_aoi_frames_hash_disjointly(rng):
     enc_plain = HashGridEncoding(frames=1, **kw)
     np.testing.assert_array_equal(np.asarray(enc_plain.apply(params, xyz0)),
                                   f0)
+
+
+def test_take_matmul_ft_bf16_values_and_grad(rng, monkeypatch):
+    """_take_matmul_ft_bf16: gather reads a bf16 copy of the (F, T) view
+    (value == take of the bf16-cast table); the table gradient is the same
+    f32 one-hot matmul as _take_matmul_ft (the cast's derivative is
+    identity; the bf16 cotangent converts to f32 exactly), so it matches a
+    numpy scatter-add oracle of the cotangent."""
+    from spnerf_tpu.models.hashgrid import _take_matmul_ft_bf16
+
+    F, T = 4, 256
+    tab = jnp.asarray(rng.normal(size=(F, T)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, (97, 8)).astype(np.int32))
+    out = _take_matmul_ft_bf16(tab, idx)
+    expect = jnp.take(tab.astype(jnp.bfloat16), idx, axis=1)
+    np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)),
+                                  np.asarray(expect.astype(jnp.float32)))
+
+    ct = rng.normal(size=(F, 97, 8)).astype(np.float32)
+    ct_bf = np.asarray(jnp.asarray(ct).astype(jnp.bfloat16)
+                       .astype(jnp.float32))
+
+    def loss(t):
+        return jnp.sum(_take_matmul_ft_bf16(t, idx).astype(jnp.float32)
+                       * jnp.asarray(ct))
+
+    g = np.asarray(jax.grad(loss)(tab))
+    oracle = np.zeros((F, T), np.float32)
+    flat_idx = np.asarray(idx).reshape(-1)
+    # the cotangent reaching the custom VJP is bf16 (the primal output is
+    # bf16), so the oracle scatters the bf16-rounded ct rows
+    flat_ct = ct_bf.reshape(F, -1)
+    for j, t in enumerate(flat_idx):
+        oracle[:, t] += flat_ct[:, j]
+    np.testing.assert_allclose(g, oracle, rtol=1e-4,
+                               atol=1e-4 * np.abs(oracle).max() + 1e-6)
