@@ -613,9 +613,27 @@ class HashGridEncoding(nn.Module):
                     if self.impl == "matmul_vjp":
                         # SPNERF_HASH_BF16_GATHER=1: gather from a bf16 copy
                         # of the view (halves the random-access operand
-                        # footprint — see _take_matmul_ft_bf16)
-                        if os.environ.get("SPNERF_HASH_BF16_GATHER",
-                                          "0") == "1":
+                        # footprint — see _take_matmul_ft_bf16; REFUTED
+                        # standalone: the f32 interpolation converts the
+                        # bf16 gather output with a relayout copy).
+                        # SPNERF_HASH_BF16_E2E=1 additionally runs the
+                        # trilinear interpolation in bf16 (w cast to bf16,
+                        # f32 accumulation) so no conversion buffer of the
+                        # (F, N, 8) gather output ever exists — the "needs
+                        # end-to-end narrow dtype" follow-up to the
+                        # BF16_GATHER refutation. ALSO REFUTED on the v5e:
+                        # 247.9 vs 174.1 ms/step integrated (T=2^19) —
+                        # within noise of plain BF16_GATHER's 248.1, i.e.
+                        # the equal-dtype einsum recovered nothing. The
+                        # penalty is the bf16 gather OUTPUT's (16, 128)
+                        # 2-byte tiling itself (the gather emits into a
+                        # narrow-lane layout the surrounding f32 program
+                        # can't use without relayout, consumer dtype
+                        # notwithstanding), not the convert op.
+                        if (os.environ.get("SPNERF_HASH_BF16_GATHER",
+                                           "0") == "1"
+                                or os.environ.get("SPNERF_HASH_BF16_E2E",
+                                                  "0") == "1"):
                             vals_ft = _take_matmul_ft_bf16(tab_ft, idx)
                         else:
                             vals_ft = _take_matmul_ft(tab_ft, idx)  # (F,N,8)
@@ -644,10 +662,24 @@ class HashGridEncoding(nn.Module):
                 fd = frac[:, d: d + 1]  # (N, 1)
                 w = w * (cd * fd + (1.0 - cd) * (1.0 - fd))
             if fmajor and vals is None:
+                # bf16 end-to-end: when the gather emitted bf16 (BF16_E2E),
+                # feed the einsum bf16 on BOTH sides with f32 accumulation —
+                # equal-dtype operands mean XLA never materializes an f32
+                # convert (relayout) of the (F, N, 8) gather output, which is
+                # what refuted the plain BF16_GATHER variant.
+                wi = w
+                if (vals_ft.dtype == jnp.bfloat16
+                        and os.environ.get("SPNERF_HASH_BF16_E2E",
+                                           "0") == "1"):
+                    wi = w.astype(jnp.bfloat16)
                 if fm_feats:
-                    feats.append(jnp.einsum('nc,fnc->fn', w, vals_ft))  # (F, N)
+                    feats.append(jnp.einsum(
+                        'nc,fnc->fn', wi, vals_ft,
+                        preferred_element_type=jnp.float32))  # (F, N)
                 else:
-                    feats.append(jnp.einsum('nc,fnc->nf', w, vals_ft))  # (N, F)
+                    feats.append(jnp.einsum(
+                        'nc,fnc->nf', wi, vals_ft,
+                        preferred_element_type=jnp.float32))  # (N, F)
             else:
                 feats.append(jnp.sum(w[..., None] * vals, axis=1))  # (N, F)
         if fm_feats:
