@@ -50,6 +50,30 @@ def _hash_coords(coords, table_size, frame=None):
     return (h % jnp.uint32(table_size)).astype(jnp.int32)
 
 
+def _hash_corners(base, table_size, frame=None):
+    """(N, 3) uint32 cell base -> (N, 8) int32 hashed corner ids, equal to
+    ``_hash_coords(base[:, None, :] + _CORNERS, table_size, frame)`` without
+    materializing the (N, 8, 3) corner array. The corner hash decomposes into
+    per-AXIS pairs: h(i,j,k) = hx_i ^ hy_j ^ hz_k with hx_i = (x+i)*p1 =
+    x*p1 + i*p1 (exact in u32 wraparound), so only six (N,) columns are
+    computed and xor-combined — the profiled (N, 8, 3) u32 corner fusions
+    (4.5 ms/step of u32 math at the default geometry, round 3) disappear
+    along with their downstream copies. Measured integrated (full sp-nerf
+    hash step, T=2^19, v5e): 174.1 -> 161.4 ms/step together with the
+    direct-level base_lin + constant-offset decomposition.
+
+    frame: optional (N, 1) uint32 AOI-frame index (see _hash_coords)."""
+    hx = [base[:, a] * _PRIMES[a] for a in range(3)]  # (N,) per axis
+    h = jnp.stack(
+        [(hx[0] + np.uint32(i * _PRIMES[0]))
+         ^ (hx[1] + np.uint32(j * _PRIMES[1]))
+         ^ (hx[2] + np.uint32(k * _PRIMES[2]))
+         for i, j, k in _CORNERS.tolist()], axis=-1)  # (N, 8)
+    if frame is not None:
+        h = h ^ (frame * _FRAME_PRIME)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _take_sorted(tab, idx):
     """jnp.take(tab, idx, axis=0) whose BACKWARD scatter-add runs on sorted
@@ -265,6 +289,36 @@ def _take_matmul_ft_bf16_bwd(res, ct):
 
 
 _take_matmul_ft_bf16.defvjp(_take_matmul_ft_bf16_fwd, _take_matmul_ft_bf16_bwd)
+
+
+@jax.custom_vjp
+def _take_matmul_ft_tm(tab_ft, idx):
+    """_take_matmul_ft whose forward gathers ROWS from a materialized
+    T-MAJOR (t_eff, F) copy of the view instead of columns from (F, t_eff).
+
+    Motivation (round-3 xplane profile, T=2^19 hash step): gathers whose
+    operand carries the {1,0:T(4,128)} layout of the big (F, T) views run at
+    4.53 ms/1M rows fused, while the small direct-level views — materialized
+    by XLA as {0,1:T(8,128)} copies, i.e. t-major memory order — gather at
+    1.88 ms/1M + a 1.35 ms/1M relayout of the output. This variant recreates
+    the fast form explicitly: one (t_eff, F) transpose copy per level per
+    step (CSE-shared across the 3 render passes — the table is loop-invariant
+    within a step), then a row gather, then the output relayout back to the
+    (F, N, 8) interface. Backward is unchanged (fmajor matmul dtab).
+    Opt-in via SPNERF_HASH_TM_GATHER=1 — measured NEUTRAL on the v5e
+    (156.8 vs 156.7 ms/step integrated at T=2^19): whatever XLA emits for
+    the explicit copy+row-gather+relayout chain costs the same as its
+    fused column-gather, so the default stays the simpler form."""
+    tab_tf = jax.lax.optimization_barrier(tab_ft.T)  # (t_eff, F) copy
+    v = jnp.take(tab_tf, idx.reshape(-1), axis=0)  # (N*8, F) row gather
+    return v.T.reshape(tab_ft.shape[0], *idx.shape)  # (F, N, 8)
+
+
+def _take_matmul_ft_tm_fwd(tab_ft, idx):
+    return _take_matmul_ft_tm(tab_ft, idx), (idx, tab_ft.shape)
+
+
+_take_matmul_ft_tm.defvjp(_take_matmul_ft_tm_fwd, _take_matmul_ft_bwd)
 
 
 def _take_ft_multi(table, idxs, t_effs, T, F):
@@ -517,9 +571,14 @@ class HashGridEncoding(nn.Module):
             x0 = jnp.floor(xs)
             frac = xs - x0  # (N, 3)
             base = x0.astype(jnp.uint32)  # (N, 3)
-            corners = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
             side = res + 1  # dense grid has res cells -> res+1 corners/axis
             n_frames = self.frames if frame is not None else 1
+            # Corner ids are computed WITHOUT materializing the (N, 8, 3)
+            # corner-coordinate array (profiled at 4.5 ms/step of u32
+            # fusions at the default geometry): the direct linear index
+            # decomposes into base_lin + a constant per-corner offset, and
+            # the hash into per-axis pair xors (_hash_corners). Both are
+            # bit-identical to the corner-array forms.
             if self.direct_coarse and side ** 3 * n_frames <= T:
                 # collision-free linear index (one dense side^3 block per
                 # multi-AOI frame); the slice to the pow2-padded dense size
@@ -527,13 +586,16 @@ class HashGridEncoding(nn.Module):
                 # zero-pads dtab back to (T, F) for free. Frame 0 is
                 # bit-identical to the frames=1 encoding.
                 t_eff = 1 << int(np.ceil(np.log2(side ** 3 * n_frames)))
-                lin = ((corners[..., 0] * side + corners[..., 1]) * side
-                       + corners[..., 2])  # (N, 8)
+                base_lin = ((base[:, 0] * np.uint32(side) + base[:, 1])
+                            * np.uint32(side) + base[:, 2])  # (N,)
+                offs = ((_CORNERS[:, 0] * side + _CORNERS[:, 1]) * side
+                        + _CORNERS[:, 2]).astype(np.uint32)  # (8,) constant
+                lin = base_lin[:, None] + offs[None]  # (N, 8)
                 if frame is not None:
                     lin = lin + frame * np.uint32(side ** 3)
                 idx = lin.astype(jnp.int32)
             else:
-                idx = _hash_coords(corners, T, frame)  # (N, 8)
+                idx = _hash_corners(base, T, frame)  # (N, 8)
                 t_eff = T
             per_level.append((idx, frac, t_eff))
 
@@ -635,6 +697,11 @@ class HashGridEncoding(nn.Module):
                                 or os.environ.get("SPNERF_HASH_BF16_E2E",
                                                   "0") == "1"):
                             vals_ft = _take_matmul_ft_bf16(tab_ft, idx)
+                        elif os.environ.get("SPNERF_HASH_TM_GATHER",
+                                            "0") == "1":
+                            # row-gather from a t-major copy of the view
+                            # (see _take_matmul_ft_tm)
+                            vals_ft = _take_matmul_ft_tm(tab_ft, idx)
                         else:
                             vals_ft = _take_matmul_ft(tab_ft, idx)  # (F,N,8)
                     else:  # "xla": autodiff VJP is the native scatter-add

@@ -43,6 +43,21 @@ TA = 256  # output rows per grid step (capped to A when A is smaller)
 WIN = 16  # sorted-window path: one-hot window width in A-rows per block
 
 
+def _sort_stable():
+    """jax.lax.sort defaults to is_stable=True, which XLA:TPU implements by
+    appending an s32 iota tiebreaker operand to the sort (visible in the
+    round-3 xplane profile: every dtab sort carried 6 operands instead of 5
+    and 31.3 ms/step total). The window dtab does not need stability — the
+    scatter-sum is order-independent; only the f32 summation order among
+    EQUAL ids changes, the same numerics class as the kernel's block
+    summation order. SPNERF_HASH_SORT_STABLE=1 restores the stable sort.
+    Measured integrated (full sp-nerf hash step, T=2^19, v5e): unstable
+    156.7 vs stable 161.4 ms/step (~0.22 ms saved per 1M-row sort)."""
+    import os
+
+    return os.environ.get("SPNERF_HASH_SORT_STABLE", "0") == "1"
+
+
 def window_eligible(T, F, M):
     """True when the sorted-window path applies and should win: lane-aligned
     power-of-two split, enough table rows A that the dense kernel's FLOP
@@ -286,7 +301,7 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     if os.environ.get("SPNERF_HASH_SW_ARGSORT", "0") == "1":
         ids_s, perm = jax.lax.sort(
             (ids.astype(jnp.int32), jnp.arange(mp, dtype=jnp.int32)),
-            num_keys=1)
+            num_keys=1, is_stable=_sort_stable())
         ct_s = jnp.take(ct.T if fmajor else ct, perm, axis=0)
     elif (os.environ.get("SPNERF_HASH_SW_BF16SORT", "0") == "1"
           and F % 2 == 0):
@@ -315,7 +330,8 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
             return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
         packed = tuple(_pack(cm[2 * p], cm[2 * p + 1]) for p in range(F // 2))
-        ops = jax.lax.sort((ids.astype(jnp.int32),) + packed, num_keys=1)
+        ops = jax.lax.sort((ids.astype(jnp.int32),) + packed, num_keys=1,
+                           is_stable=_sort_stable())
         ids_s = ops[0]
         cols = []
         for p in range(F // 2):
@@ -324,7 +340,8 @@ def dtab_sorted_window(ids, ct, T, F, mblk=None, interpret=False,
     else:
         cols = (tuple(ct[j] for j in range(F)) if fmajor
                 else tuple(ct[:, j] for j in range(F)))
-        ops = jax.lax.sort((ids.astype(jnp.int32),) + cols, num_keys=1)
+        ops = jax.lax.sort((ids.astype(jnp.int32),) + cols, num_keys=1,
+                           is_stable=_sort_stable())
         ids_s = ops[0]
         # COLS mode (default; SPNERF_HASH_SW_COLS=0 reverts): keep the
         # sorted cotangent as F separate (mp,) columns all the way into the
@@ -541,7 +558,8 @@ def dtab_sorted_window_batched(ids, ct, T, F, mblk=None, interpret=False):
     # one batched sort for all levels; payload rides the sort (argsort+take
     # refutation above applies here too)
     ops = jax.lax.sort((ids.astype(jnp.int32),)
-                       + tuple(ct[..., j] for j in range(F)), num_keys=1)
+                       + tuple(ct[..., j] for j in range(F)), num_keys=1,
+                       is_stable=_sort_stable())
     ids_s = ops[0]  # (L, mp)
     ct_s = jnp.stack(ops[1:], axis=-1)  # (L, mp, F)
     ia = ids_s // B

@@ -468,3 +468,76 @@ def test_take_matmul_ft_bf16_values_and_grad(rng, monkeypatch):
         oracle[:, t] += flat_ct[:, j]
     np.testing.assert_allclose(g, oracle, rtol=1e-4,
                                atol=1e-4 * np.abs(oracle).max() + 1e-6)
+
+
+def test_hash_corners_matches_corner_array_form(rng):
+    """_hash_corners (per-axis pair xors, no (N, 8, 3) corner array) is
+    bit-identical to _hash_coords over the materialized corner array, with
+    and without a multi-AOI frame index."""
+    from spnerf_tpu.models.hashgrid import (_CORNERS, _hash_coords,
+                                            _hash_corners)
+
+    base = jnp.asarray(
+        rng.integers(0, 2 ** 20, (257, 3)).astype(np.uint32))
+    corners = base[:, None, :] + jnp.asarray(_CORNERS)[None]
+    for T in (2 ** 19, 2 ** 15, 1 << 13):
+        np.testing.assert_array_equal(
+            np.asarray(_hash_corners(base, T)),
+            np.asarray(_hash_coords(corners, T)))
+    frame = jnp.asarray(
+        rng.integers(0, 4, (257,)).astype(np.uint32))[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(_hash_corners(base, 2 ** 19, frame)),
+        np.asarray(_hash_coords(corners, 2 ** 19, frame)))
+
+
+def test_take_matmul_ft_tm_values_and_grad(rng, monkeypatch):
+    """_take_matmul_ft_tm (row gather from a t-major copy of the view) is
+    bit-identical to _take_matmul_ft in value and gradient, and the
+    SPNERF_HASH_TM_GATHER=1 encoding matches the default bitwise."""
+    from spnerf_tpu.models.hashgrid import (HashGridEncoding,
+                                            _take_matmul_ft,
+                                            _take_matmul_ft_tm)
+
+    F, T = 4, 256
+    tab = jnp.asarray(rng.normal(size=(F, T)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, (97, 8)).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(_take_matmul_ft_tm(tab, idx)),
+                                  np.asarray(_take_matmul_ft(tab, idx)))
+    ct = jnp.asarray(rng.normal(size=(F, 97, 8)).astype(np.float32))
+    g_tm = jax.grad(lambda t: jnp.sum(_take_matmul_ft_tm(t, idx) * ct))(tab)
+    g = jax.grad(lambda t: jnp.sum(_take_matmul_ft(t, idx) * ct))(tab)
+    np.testing.assert_array_equal(np.asarray(g_tm), np.asarray(g))
+
+    kw = dict(n_levels=4, n_features=2, log2_table_size=10,
+              base_resolution=4, max_resolution=32, impl="matmul_vjp")
+    enc = HashGridEncoding(**kw)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (83, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+    ref = np.asarray(enc.apply(params, xyz))
+    monkeypatch.setenv("SPNERF_HASH_TM_GATHER", "1")
+    out = np.asarray(enc.apply(params, xyz))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dtab_sorted_window_unstable_sort_matches_oracle(rng, monkeypatch):
+    """The default (unstable) dtab sort matches a float64 scatter oracle to
+    f32 tolerance, and SPNERF_HASH_SORT_STABLE=1 agrees with it to the same
+    tolerance (only the summation order among equal ids differs)."""
+    from spnerf_tpu.ops.pallas.dtab import dtab_sorted_window
+
+    T, F, M = 1 << 15, 4, 40000
+    ids = jnp.asarray(rng.integers(0, T, (M,)).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(M, F)).astype(np.float32))
+    oracle = np.zeros((T, F), np.float64)
+    np.add.at(oracle, np.asarray(ids), np.asarray(ct).astype(np.float64))
+
+    out = np.asarray(dtab_sorted_window(ids, ct, T, F, interpret=True))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+    # the env knob is read at TRACE time: clear the jit cache so the stable
+    # variant actually re-traces instead of reusing the unstable executable
+    dtab_sorted_window.clear_cache()
+    monkeypatch.setenv("SPNERF_HASH_SORT_STABLE", "1")
+    out_s = np.asarray(dtab_sorted_window(ids, ct, T, F, interpret=True))
+    np.testing.assert_allclose(out_s, oracle, rtol=1e-5, atol=1e-4)
+    dtab_sorted_window.clear_cache()
