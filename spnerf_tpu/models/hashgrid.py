@@ -722,6 +722,28 @@ class HashGridEncoding(nn.Module):
                         "matmul_vjp": _take_matmul}.get(
                             self.impl, lambda t, i: jnp.take(t, i, axis=0))
                 vals = take(table[l][:t_eff], idx)  # (N, 8, F)
+            # SPNERF_HASH_LERP (fmajor matmul/xla path only; default ON for
+            # accelerators, off on CPU): trilinear interpolation as 7
+            # successive LERPs on the (F, N, 8) gather output instead of
+            # the (N, 8) weight product + 8-corner einsum — never
+            # materializes w (the einsum path's weight build + contraction
+            # fusions profiled at ~14 ms/step at T=2^19). _CORNERS orders
+            # corners (i, j, k) with k minor, so the axis pairs are
+            # even/odd slices. Numerics: same math, different f32
+            # rounding/association than the weighted sum (not bitwise;
+            # parity-tested to f32 tolerance). Measured integrated on the
+            # v5e (T=2^19): 149.4 vs 156.7 ms/step (+5% rays/s).
+            lerp_default = ("1" if jax.default_backend() not in ("cpu",)
+                            else "0")
+            if (fmajor and vals is None and not fm_feats
+                    and os.environ.get("SPNERF_HASH_LERP",
+                                       lerp_default) == "1"):
+                v = vals_ft.astype(jnp.float32)  # (F, N, 8)
+                for d in (2, 1, 0):  # k, then j, then i: 8 -> 4 -> 2 -> 1
+                    fd = frac[:, d][None, :, None]
+                    v = v[..., 0::2] * (1.0 - fd) + v[..., 1::2] * fd
+                feats.append(v[..., 0].T)  # (N, F)
+                continue
             # trilinear weights for the (i, j, k) corner order of _CORNERS
             w = jnp.ones((n, 8), jnp.float32)
             for d in range(3):

@@ -541,3 +541,28 @@ def test_dtab_sorted_window_unstable_sort_matches_oracle(rng, monkeypatch):
     out_s = np.asarray(dtab_sorted_window(ids, ct, T, F, interpret=True))
     np.testing.assert_allclose(out_s, oracle, rtol=1e-5, atol=1e-4)
     dtab_sorted_window.clear_cache()
+
+
+def test_lerp_interp_matches_einsum(rng, monkeypatch):
+    """SPNERF_HASH_LERP=1 (successive-lerp trilinear) matches the default
+    weighted-8-corner einsum to f32 tolerance in value and table gradient."""
+    from spnerf_tpu.models.hashgrid import HashGridEncoding
+
+    kw = dict(n_levels=4, n_features=2, log2_table_size=10,
+              base_resolution=4, max_resolution=32, impl="matmul_vjp")
+    enc = HashGridEncoding(**kw)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (83, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+
+    def loss(p):
+        return jnp.sum(jnp.sin(enc.apply(p, xyz)))
+
+    ref = np.asarray(enc.apply(params, xyz))
+    g_ref = jax.grad(lambda p: loss(p))(params)
+    monkeypatch.setenv("SPNERF_HASH_LERP", "1")
+    out = np.asarray(enc.apply(params, xyz))
+    g = jax.grad(lambda p: loss(p))(params)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g["params"]["table"]),
+        np.asarray(g_ref["params"]["table"]), rtol=1e-4, atol=1e-6)
