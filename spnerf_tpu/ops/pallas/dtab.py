@@ -90,6 +90,38 @@ def _kernel(ids_row_ref, ids_col_ref, ct_ref, out_ref, *, B, F, ta, dtype):
             oh_at, g, preferred_element_type=jnp.float32)
 
 
+def _kernel_cols(ids_row_ref, *rest, B, F, ta, dtype):
+    """_kernel with COLUMN operands (fmajor callers only): ids and the F
+    cotangent rows of the (F, M) fmajor cotangent all arrive as (1, m) rows
+    — no (m, 1) id operand and no materialized (m, F) ct transpose, the
+    same marshalling the sorted-window cols kernel removed (the dense
+    kernel's (mp, 1) id reshapes profiled 0.8+0.4+0.4 ms/step at the
+    default geometry). The B-side one-hot is built TRANSPOSED (B, m) and
+    contracted with dot_general on the m axis. Measured integrated (full
+    sp-nerf hash step, T=2^19, v5e): 146.5 vs 149.4 ms/step;
+    SPNERF_HASH_DENSE_COLS=0 reverts."""
+    ct_refs, out_ref = rest[:-1], rest[-1]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    i = pl.program_id(0)
+    ids_row = ids_row_ref[:]  # (1, m)
+    ia = ids_row // B
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ta, MBLK), 0) + i * ta
+    oh_at = (rows == ia).astype(dtype)  # (ta, m)
+    ib = ids_row % B  # (1, m)
+    colsT = jax.lax.broadcasted_iota(jnp.int32, (B, MBLK), 0)
+    oh_bt = (ib == colsT).astype(dtype)  # (B, m): one_hot_B, transposed
+    for f in range(F):
+        gt = oh_bt * ct_refs[f][:].astype(dtype)  # (B, m)
+        out_ref[:, f * B:(f + 1) * B] += jax.lax.dot_general(
+            oh_at, gt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("T", "F", "f32", "interpret", "fmajor"))
 def dtab_pallas(ids, ct, T, F, f32=False, interpret=False, fmajor=False):
@@ -119,20 +151,34 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False, fmajor=False):
     mp = M + pad
     ids = ids.astype(jnp.int32)
     ct = ct.astype(jnp.float32)
-    if fmajor:
-        ct = ct.T  # (mp, F) for the kernel's block specs
+    import os
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, B=B, F=F, ta=ta, dtype=dtype),
-        grid=(A // ta, mp // MBLK),
-        in_specs=[
-            pl.BlockSpec((1, MBLK), lambda i, k: (0, k),
-                         memory_space=pltpu.VMEM),
+    row_spec = pl.BlockSpec((1, MBLK), lambda i, k: (0, k),
+                            memory_space=pltpu.VMEM)
+    if fmajor and os.environ.get("SPNERF_HASH_DENSE_COLS", "1") == "1":
+        # COLUMN operands (see _kernel_cols): the (F, mp) fmajor cotangent's
+        # rows feed the kernel directly — no ct.T and no (mp, 1) id reshape
+        kern = functools.partial(_kernel_cols, B=B, F=F, ta=ta, dtype=dtype)
+        in_specs = [row_spec] * (1 + F)
+        operands = ((ids.reshape(1, mp),)
+                    + tuple(ct[f].reshape(1, mp) for f in range(F)))
+    else:
+        if fmajor:
+            ct = ct.T  # (mp, F) for the kernel's block specs
+        kern = functools.partial(_kernel, B=B, F=F, ta=ta, dtype=dtype)
+        in_specs = [
+            row_spec,
             pl.BlockSpec((MBLK, 1), lambda i, k: (k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((MBLK, F), lambda i, k: (k, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        operands = (ids.reshape(1, mp), ids.reshape(mp, 1), ct)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(A // ta, mp // MBLK),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ta, F * B), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, F * B), jnp.float32),
@@ -144,7 +190,7 @@ def dtab_pallas(ids, ct, T, F, f32=False, interpret=False, fmajor=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ids.reshape(1, mp), ids.reshape(mp, 1), ct)
+    )(*operands)
     # out[a, f*B + b] = dtab[a*B + b, f]
     if fmajor:  # (F, T): contiguous B-lane blocks move — tile-friendly
         return out.reshape(A, F, B).transpose(1, 0, 2).reshape(F, T)
