@@ -321,6 +321,61 @@ def _take_matmul_ft_tm_fwd(tab_ft, idx):
 _take_matmul_ft_tm.defvjp(_take_matmul_ft_tm_fwd, _take_matmul_ft_bwd)
 
 
+# ------------------------------------------------------- lerp interpolation
+# Trilinear interpolation with a LERP forward and a PRODUCT-form backward.
+# Forward: 7 successive lerps on the (F, N, 8) gather output — no (N, 8)
+# trilinear-weight array is ever built (the einsum path's weight build +
+# contraction fusions profiled ~14 ms/step at T=2^19). Backward: the exact
+# derivative of the same function, d_vals[f, n, c] = ct[f, n] * w[n, c],
+# emitted as ONE broadcast multiply — plain autodiff of the lerp chain
+# instead reassembles the (F, N, 8) cotangent through a chain of pad ops in
+# a {1,0,2} layout that then pays relayout copies into the dtab sort
+# (profiled ~0.4 ms x 6/step). d_frac is returned exactly as well (product
+# rule over the three axis factors); when positions carry no parameter
+# dependence — sample z values are stop-gradient everywhere in this
+# renderer — XLA dead-code-eliminates that branch and the vals residual it
+# reads inside the jitted train step. Measured integrated on the v5e
+# (T=2^19): 146.3 vs 146.5 ms/step — NEUTRAL vs plain autodiff of the lerp
+# chain (XLA fuses the pad-chain backward well); kept because the
+# product-form table gradients are bitwise-identical to the einsum path's
+# (gradient semantics independent of the forward's interpolation form).
+
+@jax.custom_vjp
+def _interp_lerp(vals_ft, frac):
+    """(F, N, 8) corner values, (N, 3) in-cell fractions -> (N, F)."""
+    v = vals_ft.astype(jnp.float32)
+    for d in (2, 1, 0):  # k, then j, then i: 8 -> 4 -> 2 -> 1
+        fd = frac[:, d][None, :, None]
+        v = v[..., 0::2] * (1.0 - fd) + v[..., 1::2] * fd
+    return v[..., 0].T  # (N, F)
+
+
+def _interp_lerp_fwd(vals_ft, frac):
+    return _interp_lerp(vals_ft, frac), (vals_ft, frac)
+
+
+def _interp_lerp_bwd(res, ct):
+    vals_ft, frac = res
+    ct_fn = ct.T.astype(jnp.float32)  # (F, N)
+    c = _CORNERS.astype(np.float32)  # (8, 3)
+    # per-axis interpolation factors g_d[n, c] and the full weight product
+    g = [c[None, :, d] * frac[:, d:d + 1]
+         + (1.0 - c[None, :, d]) * (1.0 - frac[:, d:d + 1])
+         for d in range(3)]  # 3 x (N, 8)
+    w = g[0] * g[1] * g[2]
+    d_vals = ct_fn[:, :, None] * w[None]  # (F, N, 8)
+    # d_frac via the product rule: dw/dfd = (2 c_d - 1) * prod_{d' != d} g_d'
+    s = jnp.einsum('fn,fnc->nc', ct_fn, vals_ft.astype(jnp.float32))
+    others = (g[1] * g[2], g[0] * g[2], g[0] * g[1])
+    d_frac = jnp.stack(
+        [jnp.sum(s * (2.0 * c[None, :, d] - 1.0) * others[d], axis=-1)
+         for d in range(3)], axis=-1)  # (N, 3)
+    return d_vals.astype(vals_ft.dtype), d_frac
+
+
+_interp_lerp.defvjp(_interp_lerp_fwd, _interp_lerp_bwd)
+
+
 def _take_ft_multi(table, idxs, t_effs, T, F):
     """All levels' F-major takes through ONE custom VJP whose backward
     applies a SINGLE merged tail conditional instead of one per level.
@@ -738,11 +793,7 @@ class HashGridEncoding(nn.Module):
             if (fmajor and vals is None and not fm_feats
                     and os.environ.get("SPNERF_HASH_LERP",
                                        lerp_default) == "1"):
-                v = vals_ft.astype(jnp.float32)  # (F, N, 8)
-                for d in (2, 1, 0):  # k, then j, then i: 8 -> 4 -> 2 -> 1
-                    fd = frac[:, d][None, :, None]
-                    v = v[..., 0::2] * (1.0 - fd) + v[..., 1::2] * fd
-                feats.append(v[..., 0].T)  # (N, F)
+                feats.append(_interp_lerp(vals_ft, frac))  # (N, F)
                 continue
             # trilinear weights for the (i, j, k) corner order of _CORNERS
             w = jnp.ones((n, 8), jnp.float32)

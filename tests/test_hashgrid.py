@@ -566,3 +566,34 @@ def test_lerp_interp_matches_einsum(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g["params"]["table"]),
         np.asarray(g_ref["params"]["table"]), rtol=1e-4, atol=1e-6)
+
+
+def test_interp_lerp_custom_vjp_matches_einsum_grads(rng):
+    """_interp_lerp (lerp forward, product-form backward): value and BOTH
+    cotangents (d_vals and the exact d_frac) match autodiff of the
+    weighted-8-corner einsum form."""
+    from spnerf_tpu.models.hashgrid import _CORNERS, _interp_lerp
+
+    F, N = 4, 37
+    vals = jnp.asarray(rng.normal(size=(F, N, 8)).astype(np.float32))
+    frac = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+
+    def einsum_form(v, f):
+        w = jnp.ones((N, 8), jnp.float32)
+        for d in range(3):
+            cd = _CORNERS[:, d].astype(jnp.float32)[None]
+            w = w * (cd * f[:, d:d + 1] + (1 - cd) * (1 - f[:, d:d + 1]))
+        return jnp.einsum('nc,fnc->nf', w, v)
+
+    np.testing.assert_allclose(np.asarray(_interp_lerp(vals, frac)),
+                               np.asarray(einsum_form(vals, frac)),
+                               rtol=1e-5, atol=1e-6)
+    gv, gf = jax.grad(lambda v, f: jnp.sum(_interp_lerp(v, f) * ct),
+                      argnums=(0, 1))(vals, frac)
+    gv_r, gf_r = jax.grad(lambda v, f: jnp.sum(einsum_form(v, f) * ct),
+                          argnums=(0, 1))(vals, frac)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                               rtol=1e-4, atol=1e-5)
