@@ -623,8 +623,17 @@ class HashGridEncoding(nn.Module):
         for l in range(L):
             res = int(resolutions[l])
             xs = x01 * res
-            x0 = jnp.floor(xs)
-            frac = xs - x0  # (N, 3)
+            # cell index clamped to res-1 (standard trilinear convention):
+            # at x01 == 1.0 exactly — which every sample clipped to the +1
+            # AOI boundary hits, e.g. solar-pass points marching off the
+            # box — floor(xs) == res would address corner res+1: aliased
+            # rows for hashed levels and OUT-OF-RANGE linear indices for
+            # direct levels (clamped reads, silently dropped one-hot
+            # gradients). Clamping the CELL and letting frac reach 1.0
+            # interpolates onto the face corners instead; interior points
+            # (floor < res) are bit-identical.
+            x0 = jnp.minimum(jnp.floor(xs), float(res - 1))
+            frac = xs - x0  # (N, 3) in [0, 1] (1.0 only on the +1 faces)
             base = x0.astype(jnp.uint32)  # (N, 3)
             side = res + 1  # dense grid has res cells -> res+1 corners/axis
             n_frames = self.frames if frame is not None else 1

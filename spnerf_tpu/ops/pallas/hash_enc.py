@@ -47,7 +47,9 @@ def _corner_data(x01, resolutions, table_size):
     idxs, ws = [], []
     for res in resolutions:
         xs = x01 * float(res)
-        x0 = jnp.floor(xs)
+        # cell clamped to res-1, frac up to 1.0 on the +1 faces — matches
+        # models/hashgrid.py (boundary-aliasing fix; see the comment there)
+        x0 = jnp.minimum(jnp.floor(xs), float(res - 1))
         frac = xs - x0
         base = x0.astype(jnp.uint32)
         cc = base[:, None, :] + _CORNERS[None]  # (N, 8, 3)
@@ -70,7 +72,7 @@ def _hash_encode_fwd_impl(x01, table, resolutions):
     feats = []
     for li, res in enumerate(resolutions):
         xs = x01 * float(res)
-        x0 = jnp.floor(xs)
+        x0 = jnp.minimum(jnp.floor(xs), float(res - 1))  # see _corner_data
         frac = xs - x0
         base = x0.astype(jnp.uint32)
         cc = base[:, None, :] + _CORNERS[None]
@@ -125,7 +127,7 @@ def _vjp_bwd(resolutions, res, g):
     dx = jnp.zeros_like(x01)
     for li, r in enumerate(resolutions):
         xs = x01 * float(r)
-        frac = xs - jnp.floor(xs)  # (N, 3)
+        frac = xs - jnp.minimum(jnp.floor(xs), float(r - 1))  # (N, 3)
         gv = jnp.sum(vals[li] * gf[:, li][:, None, :], axis=-1)  # (N, 8)
         for d in range(3):
             others = [o for o in range(3) if o != d]

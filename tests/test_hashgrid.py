@@ -189,6 +189,11 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
     enc = HashGridEncoding(n_levels=L, n_features=F, log2_table_size=log2T,
                            base_resolution=4, max_resolution=8)
     xyz = rng.uniform(-1, 1, size=(257, 3)).astype(np.float32)
+    # exact +1/-1 boundary rows (what out-of-box samples clip to): the cell
+    # index clamps to res-1 with frac 1.0 — interpolates onto the face
+    # corners, stays in the side^3 dense range
+    xyz[:4] = [[1.0, 1.0, 1.0], [-1.0, 1.0, -1.0],
+               [1.0, 0.3, -0.7], [0.2, -1.0, 1.0]]
     params = enc.init(jax.random.PRNGKey(0), jnp.asarray(xyz))
     params = jax.tree_util.tree_map(lambda t: t * 1e4, params)
     out = np.asarray(enc.apply(params, jnp.asarray(xyz)))
@@ -204,7 +209,7 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
         assert side ** 3 <= 2 ** log2T  # this level must be direct-indexed
         grid = tab[l][: side ** 3].reshape(side, side, side, F)
         xs = x01 * res
-        x0 = np.floor(xs).astype(np.int64)
+        x0 = np.minimum(np.floor(xs), res - 1).astype(np.int64)
         f = xs - x0
         expect = np.zeros((xyz.shape[0], F), np.float32)
         for ci in (0, 1):
@@ -218,6 +223,35 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
                                       x0[:, 2] + ck])
         np.testing.assert_allclose(out[:, l * F:(l + 1) * F], expect,
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
+def test_boundary_points_keep_full_gradient_mass(rng, impl):
+    """Regression for the +1-face cell aliasing: with side = res+1 a power
+    of two (res 7 -> side 8, side^3 = 512 = t_eff exactly), the unclamped
+    cell index at x01 == 1.0 produced linear corner ids up to
+    side^3 + side^2 + side > t_eff — clamped reads, and gradients silently
+    DROPPED by the factorized one-hot backward (no row matches an
+    out-of-range id). Every sample clipped to the +1 AOI boundary (e.g.
+    solar-pass points marching off the box) hits this. The trilinear
+    weights of each (point, level) sum to 1, so the table gradient of
+    sum(encoding) must carry exactly N per (level, feature)."""
+    enc = HashGridEncoding(n_levels=1, n_features=2, log2_table_size=12,
+                           base_resolution=7, max_resolution=7, impl=impl)
+    xyz = rng.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    xyz[:8] = 1.0  # the worst face corner
+    xyz[8:16, 0] = 1.0  # +1 x-face
+    xyz = jnp.asarray(xyz)
+    params = enc.init(jax.random.PRNGKey(0), xyz)
+    g = jax.grad(lambda p: float(0) + jnp.sum(enc.apply(p, xyz)))(params)
+    gt = np.asarray(g["params"]["table"], np.float64)
+    # matmul_vjp rounds cotangent rows to bf16 (f32 accumulation): ~1e-4 rel
+    np.testing.assert_allclose(gt.sum(), 64 * 1 * 2, rtol=1e-3)
+    # direct level occupies the first side^3 = 512 rows of each feature's
+    # T-sized span (flat F-major row): nothing may land beyond them
+    T = 2 ** 12
+    span = gt.reshape(2, T)
+    assert np.all(span[:, 512:] == 0.0)
 
 
 def test_direct_coarse_toggle_changes_coarse_levels_only(rng):
