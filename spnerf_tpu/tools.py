@@ -1,0 +1,144 @@
+"""Unified CLI for the reference's standalone helper scripts.
+
+`python -m spnerf_tpu.tools <subcommand>` exposes the library equivalents of
+the reference's one-off tools behind real argument parsers (most reference
+mains hardcode their paths — /root/reference/datasets/convert2MicMac.py:52-60,
+visualization/visualize_depth_in.py:122-169, visualize_depth_out.py:43-48;
+only modules/utm_to_geocentric.py:30-36 takes --file_dir/--aoi_id, mirrored
+here):
+
+  utm-to-geocentric   MicMac *_3DPts.txt (UTM) -> *_3DPts_ecef.txt
+                      (modules/utm_to_geocentric.py:10-29)
+  convert-tiff        GeoTIFF -> MicMac-compatible uncompressed TIFF
+                      (datasets/convert2MicMac.py:6-32)
+  cal-rmse-depth      MAE/RMSE of MicMac input depth vs the lidar DSM
+                      (datasets/cal_rmse_depth.py:147-181)
+  viz-depth-in        sparse input-depth scatter / overlay / side-by-side
+                      (visualization/visualize_depth_in.py)
+  viz-dsm             DSM GeoTIFF -> viridis PNG
+                      (visualization/visualize_depth_out.py:8-41)
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _cmd_utm_to_geocentric(args):
+    from .data.micmac import convert_3dpts_file
+
+    if args.file:
+        files = list(args.file)
+    else:
+        files = sorted(glob.glob(os.path.join(args.file_dir, "*_3DPts.txt")))
+        if not files:
+            sys.exit(f"no *_3DPts.txt under {args.file_dir}")
+    for f in files:
+        out = convert_3dpts_file(
+            f, aoi_id=args.aoi_id, zone=args.zone,
+            northern=not args.south)
+        print(f"{f} -> {out}")
+
+
+def _cmd_convert_tiff(args):
+    from .data.micmac import convert_tiff
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for f in args.input:
+        out = os.path.join(args.out_dir, os.path.basename(f))
+        convert_tiff(f, out)
+        print(f"{f} -> {out}")
+
+
+def _cmd_cal_rmse_depth(args):
+    from .data.micmac import cal_rmse_depth
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    stats = cal_rmse_depth(args.pts3d_ecef, args.gt_dir, args.aoi_id,
+                           out_dir=args.out_dir)
+    print(json.dumps(stats))
+
+
+def _cmd_viz_depth_in(args):
+    from .visualization.depth import visualize_depth_points
+
+    visualize_depth_points(args.pts2d, args.pts3d, args.image,
+                           args.out_prefix)
+    print(f"wrote {args.out_prefix}_{{raw,overlay,side_by_side}}.png")
+
+
+def _cmd_viz_dsm(args):
+    from .visualization.depth import visualize_dsm
+
+    visualize_dsm(args.dsm, args.output)
+    print(f"wrote {args.output}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="python -m spnerf_tpu.tools",
+        description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    u = sub.add_parser("utm-to-geocentric",
+                       help="MicMac *_3DPts.txt (UTM) -> *_3DPts_ecef.txt")
+    u.add_argument("--file_dir", type=str,
+                   help="directory of *_3DPts.txt files (reference flag)")
+    u.add_argument("--file", type=str, nargs="*",
+                   help="explicit file list (alternative to --file_dir)")
+    u.add_argument("--aoi_id", type=str,
+                   help="AOI id whose city prefix selects the UTM zone "
+                        "(e.g. JAX_269)")
+    u.add_argument("--zone", type=int, default=None,
+                   help="explicit UTM zone (overrides --aoi_id)")
+    u.add_argument("--south", action="store_true",
+                   help="southern hemisphere (default northern)")
+    u.set_defaults(fn=_cmd_utm_to_geocentric)
+
+    c = sub.add_parser("convert-tiff",
+                       help="re-encode GeoTIFFs MicMac-compatibly")
+    c.add_argument("input", type=str, nargs="+")
+    c.add_argument("--out_dir", type=str, required=True)
+    c.set_defaults(fn=_cmd_convert_tiff)
+
+    r = sub.add_parser("cal-rmse-depth",
+                       help="score MicMac input depth against the lidar DSM")
+    r.add_argument("--pts3d_ecef", type=str, required=True)
+    r.add_argument("--gt_dir", type=str, required=True,
+                   help="directory with <aoi>_DSM.{tif,txt}")
+    r.add_argument("--aoi_id", type=str, required=True)
+    r.add_argument("--out_dir", type=str, default=None,
+                   help="optionally save the rasterized depth DSM here")
+    r.set_defaults(fn=_cmd_cal_rmse_depth)
+
+    vi = sub.add_parser("viz-depth-in",
+                        help="visualize sparse input depth on the image")
+    vi.add_argument("--pts2d", type=str, required=True)
+    vi.add_argument("--pts3d", type=str, required=True)
+    vi.add_argument("--image", type=str, required=True)
+    vi.add_argument("--out_prefix", type=str, required=True)
+    vi.set_defaults(fn=_cmd_viz_depth_in)
+
+    vo = sub.add_parser("viz-dsm", help="DSM GeoTIFF -> viridis PNG")
+    vo.add_argument("dsm", type=str)
+    vo.add_argument("output", type=str)
+    vo.set_defaults(fn=_cmd_viz_dsm)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if (args.command == "utm-to-geocentric" and args.zone is None
+            and not args.aoi_id):
+        sys.exit("utm-to-geocentric needs --aoi_id or --zone")
+    if (args.command == "utm-to-geocentric" and not args.file
+            and not args.file_dir):
+        sys.exit("utm-to-geocentric needs --file_dir or --file")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""The `python -m spnerf_tpu.tools` helper CLI (reference standalone scripts:
+utm_to_geocentric.py, convert2MicMac.py, cal_rmse_depth.py, visualization/)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spnerf_tpu.io import read_geotiff
+from spnerf_tpu.tools import main
+
+# the bundled lidar ROI (Truth/JAX_269_DSM.txt): xoff, yoff(south), 512, 0.5
+ROI_XOFF, ROI_YOFF, ROI_SIZE, ROI_RES = 438638.996411, 3353399.999928, 512, 0.5
+
+
+def test_utm_to_geocentric_roundtrip(tmp_path):
+    """--file_dir converts every *_3DPts.txt; ECEF output round-trips back to
+    the input UTM coordinates to sub-mm (reference utm_to_geocentric.py)."""
+    rng = np.random.default_rng(0)
+    pts = np.stack([ROI_XOFF + rng.uniform(0, 256, 50),
+                    ROI_YOFF + rng.uniform(0, 256, 50),
+                    rng.uniform(-20.0, 80.0, 50)], axis=-1)
+    np.savetxt(tmp_path / "JAX_269_006_RGB_3DPts.txt", pts)
+    main(["utm-to-geocentric", "--file_dir", str(tmp_path),
+          "--aoi_id", "JAX_269"])
+    out = np.loadtxt(tmp_path / "JAX_269_006_RGB_3DPts_ecef.txt")
+
+    from spnerf_tpu.geo import ecef_to_latlon, latlon_to_utm
+
+    lat, lon, alt = ecef_to_latlon(out[:, 0], out[:, 1], out[:, 2])
+    e, n, zone, northern = latlon_to_utm(lat, lon)
+    assert zone == 17 and northern
+    np.testing.assert_allclose(e, pts[:, 0], atol=1e-3)
+    np.testing.assert_allclose(n, pts[:, 1], atol=1e-3)
+    np.testing.assert_allclose(alt, pts[:, 2], atol=1e-3)
+
+
+def test_cal_rmse_depth_cli(tmp_path, dfc269_root, capsys):
+    """Points sampled AT the lidar DSM's own cell centers score a small MAE
+    against it (the radius-1 splat averages 3x3 neighborhoods, so the error
+    is local altitude variation, not zero) with high coverage."""
+    gt_dir = os.path.join(dfc269_root, "Truth")
+    gt, _ = read_geotiff(os.path.join(gt_dir, "JAX_269_DSM.tif"))
+    gt = np.asarray(gt, np.float64)
+    ii, jj = np.meshgrid(np.arange(0, ROI_SIZE, 2), np.arange(0, ROI_SIZE, 2),
+                         indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    east = ROI_XOFF + (jj + 0.5) * ROI_RES
+    north = ROI_YOFF + ROI_SIZE * ROI_RES - (ii + 0.5) * ROI_RES
+    alt = gt[ii, jj]
+
+    from spnerf_tpu.data.micmac import utm_to_geocentric
+
+    ecef = utm_to_geocentric(np.stack([east, north, alt], -1), 17, True)
+    pts_path = tmp_path / "pts_ecef.txt"
+    np.savetxt(pts_path, ecef)
+    main(["cal-rmse-depth", "--pts3d_ecef", str(pts_path),
+          "--gt_dir", gt_dir, "--aoi_id", "JAX_269",
+          "--out_dir", str(tmp_path)])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["coverage"] > 0.95
+    assert 0 <= stats["mae"] < 2.0  # 3x3-splat smoothing error only
+    assert stats["rmse"] >= stats["mae"]
+    assert os.path.exists(tmp_path / "JAX_269_depth_dsm.tif")
+
+
+def test_viz_and_convert_tiff_cli(tmp_path, dfc269_root):
+    dsm_tif = os.path.join(dfc269_root, "Truth", "JAX_269_DSM.tif")
+    png = tmp_path / "dsm.png"
+    main(["viz-dsm", dsm_tif, str(png)])
+    assert png.stat().st_size > 1000
+
+    main(["convert-tiff", dsm_tif, "--out_dir", str(tmp_path / "conv")])
+    arr0, _ = read_geotiff(dsm_tif)
+    arr1, _ = read_geotiff(str(tmp_path / "conv" / "JAX_269_DSM.tif"))
+    np.testing.assert_array_equal(np.asarray(arr0), np.asarray(arr1))
+
+
+def test_viz_depth_in_cli(tmp_path, dfc269_root):
+    """Sparse input-depth visualization over the bundled RGB image."""
+    img_path = os.path.join(dfc269_root, "RGB", "JAX_269",
+                            "JAX_269_006_RGB.tif")
+    rng = np.random.default_rng(1)
+    n = 200
+    pts2d = np.stack([rng.integers(0, 800, n), rng.integers(0, 790, n)], -1)
+    pts3d = np.stack([ROI_XOFF + rng.uniform(0, 256, n),
+                      ROI_YOFF + rng.uniform(0, 256, n),
+                      rng.uniform(-20.0, 80.0, n)], axis=-1)
+    np.savetxt(tmp_path / "p2.txt", pts2d, fmt="%d")
+    np.savetxt(tmp_path / "p3.txt", pts3d)
+    prefix = str(tmp_path / "viz")
+    main(["viz-depth-in", "--pts2d", str(tmp_path / "p2.txt"),
+          "--pts3d", str(tmp_path / "p3.txt"), "--image", img_path,
+          "--out_prefix", prefix])
+    for suffix in ("raw", "overlay", "side_by_side"):
+        assert os.path.getsize(f"{prefix}_{suffix}.png") > 1000
