@@ -56,6 +56,13 @@ class ModelConfig:
     # narrow F-minor (T, F) shape (266.6 -> 220.1 ms/step integrated at
     # T=2^19); False reproduces round<=3 checkpoints (param shapes)
     hash_flat_table: bool = True
+    # coarse-to-fine level annealing (BARF/nerfstudio practice, opt-in, no
+    # reference counterpart): during the first N training steps the fine
+    # levels' features ramp in linearly (the 2 coarsest levels are always
+    # on), steering early optimization toward low-frequency structure.
+    # 0 = off (default; bit-identical to pre-flag behavior). Training-only:
+    # eval renders run fully open, which coincides once step >= N.
+    hash_anneal_steps: int = 0
 
 
 @dataclass(frozen=True)
@@ -224,6 +231,10 @@ def build_train_parser():
                         " sorted scatter-add (sorted_vjp), factorized one-hot"
                         " MXU matmul (matmul_vjp), or one flat scatter across"
                         " levels (fused_vjp)")
+    p.add_argument("--hash_anneal_steps", type=int, default=0,
+                   help="coarse-to-fine: ramp the fine hash levels in over "
+                        "the first N steps (0 = off; the 2 coarsest levels "
+                        "are always active)")
     p.add_argument("--no_hash_direct_coarse", action="store_true",
                    help="hash every level even when the dense grid fits the "
                         "table (pre-round-3 behavior; needed to evaluate "
@@ -313,6 +324,7 @@ def model_config_from_args(args) -> ModelConfig:
         hash_impl=getattr(args, "hash_impl", "auto"),
         hash_direct_coarse=not getattr(args, "no_hash_direct_coarse", False),
         hash_flat_table=not getattr(args, "no_hash_flat_table", False),
+        hash_anneal_steps=getattr(args, "hash_anneal_steps", 0),
         # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
         # resolution in its own pseudo-table (models/hashgrid.py frames)
         hash_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")

@@ -856,7 +856,7 @@ class HashSPNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
-                 sigma_only=False, heads=None):
+                 sigma_only=False, heads=None, anneal=None):
         cfg = self.cfg
         dense = lambda feats: TorchDense(
             feats, kernel_init_name="torch", compute_dtype=self.compute_dtype
@@ -870,6 +870,14 @@ class HashSPNeRF(nn.Module):
             frames=self.frames, direct_coarse=self.direct_coarse,
             flat_table=self.flat_table,
         )(xyz)
+        if anneal is not None:
+            # coarse-to-fine level annealing (ModelConfig.hash_anneal_steps):
+            # anneal is an (L,) per-level weight in [0, 1]; scaling the
+            # (N, L*F) level-major features also scales their table
+            # gradients, so closed levels stay at init until their ramp
+            # opens (BARF-style schedule, computed in Trainer._loss_fn)
+            enc = enc * jnp.repeat(jnp.asarray(anneal, enc.dtype),
+                                   self.n_features)[None, :]
 
         x_in = enc
         if cfg.sem:

@@ -162,29 +162,34 @@ class Trainer:
                           opt_state=opt_state)
 
     # ------------------------------------------------------------- rendering
-    def _field_apply(self, params, which="coarse"):
+    def _field_apply(self, params, which="coarse", anneal=None):
         model = self.model if which == "coarse" else self.fine_model
 
         def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
+            kw = {"heads": heads}
+            if anneal is not None:  # hash models only (coarse-to-fine ramp)
+                kw["anneal"] = anneal
             return model.apply({"params": params[which]}, xyz, sun_d, t_emb,
-                               sem_labels, heads=heads)
+                               sem_labels, **kw)
 
         return apply
 
     def _render(self, params, rays, ts, sems, key, train, valid_depth=None,
-                target_depths=None, target_std=None, noise_std=0.0):
+                target_depths=None, target_std=None, noise_std=0.0,
+                anneal=None):
         t_emb = None
         if self.t_embed is not None:
             t_emb = self.t_embed.apply({"params": params["t"]}, ts)
         fine_apply = (
-            self._field_apply(params, "fine") if self.fine_model is not None else None
+            self._field_apply(params, "fine", anneal=anneal)
+            if self.fine_model is not None else None
         )
         proposal_apply = None
         if self.proposal_model is not None:
             proposal_apply = lambda xyz: self.proposal_model.apply(
                 {"params": params["proposal"]}, xyz)
         return render_rays(
-            self._field_apply(params, "coarse"),
+            self._field_apply(params, "coarse", anneal=anneal),
             self.rc,
             rays,
             t_emb=t_emb,
@@ -205,6 +210,18 @@ class Trainer:
             noise_std = 0.0  # static: composite skips its PRNG entirely
         else:
             noise_std = self.noise_std0 * jnp.power(0.9, step.astype(jnp.float32))
+        anneal = None
+        if self.mc.encoding == "hash" and self.mc.hash_anneal_steps > 0:
+            # coarse-to-fine (BARF-style, --hash_anneal_steps): the 2
+            # coarsest levels are always on; the rest ramp in linearly so
+            # all levels are fully open by hash_anneal_steps
+            L = self.mc.hash_levels
+            keep = min(2, L)
+            frac = jnp.minimum(
+                step.astype(jnp.float32) / self.mc.hash_anneal_steps, 1.0)
+            active = keep + (L - keep) * frac
+            anneal = jnp.clip(
+                active - jnp.arange(L, dtype=jnp.float32), 0.0, 1.0)
         results = self._render(
             params,
             batch["rays"],
@@ -216,6 +233,7 @@ class Trainer:
             target_depths=batch["depths"],
             target_std=batch["depth_std"],
             noise_std=noise_std,
+            anneal=anneal,
         )
         use_beta = step >= self.beta_warmup_step
         total, loss_dict = losses.total_loss(

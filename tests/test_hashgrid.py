@@ -225,6 +225,43 @@ def test_direct_coarse_matches_dense_trilinear_oracle(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_hash_level_annealing(rng):
+    """--hash_anneal_steps (opt-in coarse-to-fine, no reference counterpart):
+    at step 0 only the 2 coarsest levels carry features/gradients; once
+    step >= anneal_steps the loss is bit-identical to annealing off (the
+    ramp multiplies by exactly 1.0)."""
+    from spnerf_tpu.config import LossConfig, ModelConfig, RenderConfig
+    from spnerf_tpu.train.loop import Trainer
+    from test_train import _fake_data
+
+    mc = ModelConfig(fc_units=32, fc_layers=2, skips=(), encoding="hash",
+                     hash_levels=4, hash_features=2, hash_log2T=12,
+                     hash_anneal_steps=8)
+    mc_off = ModelConfig(fc_units=32, fc_layers=2, skips=(), encoding="hash",
+                         hash_levels=4, hash_features=2, hash_log2T=12)
+    rc = RenderConfig(n_samples=6, compute_dtype="float32")
+    kw = dict(lr=1e-3, steps_per_epoch=10, max_steps=100, donate=False)
+    tr = Trainer(mc, rc, LossConfig(), **kw)
+    tr_off = Trainer(mc_off, rc, LossConfig(), **kw)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v[:64]) for k, v in
+             _fake_data(np.random.default_rng(3)).items()}
+    key = jax.random.PRNGKey(1)
+
+    # step 0: fine levels (l >= 2) closed -> zero table gradient there
+    (_, _), grads = jax.value_and_grad(tr._loss_fn, has_aux=True)(
+        state.params, batch, key, jnp.int32(0))
+    gt = np.asarray(grads["coarse"]["HashGridEncoding_0"]["table"])
+    assert np.abs(gt[:2]).max() > 0  # coarse levels train
+    np.testing.assert_array_equal(gt[2:], 0.0)  # fine levels closed
+
+    # step >= anneal_steps: identical to the anneal-off trainer, bitwise
+    for step in (8, 50):
+        l_on, _ = tr._loss_fn(state.params, batch, key, jnp.int32(step))
+        l_off, _ = tr_off._loss_fn(state.params, batch, key, jnp.int32(step))
+        np.testing.assert_array_equal(np.asarray(l_on), np.asarray(l_off))
+
+
 @pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
 def test_boundary_points_keep_full_gradient_mass(rng, impl):
     """Regression for the +1-face cell aliasing: with side = res+1 a power
