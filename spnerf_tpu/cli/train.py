@@ -100,6 +100,8 @@ def build_trainer_and_scene(args, mesh=None):
         # make ids unique across AOIs, data/multi.py)
         t_vocab=max(args.t_embbeding_vocab, _scene_t_vocab(scene)),
         mesh=mesh,
+        table_wd=getattr(args, "hash_table_wd", 0.0),
+        table_level_lr_decay=getattr(args, "hash_level_lr_decay", 1.0),
     )
     return trainer, scene, steps_per_epoch
 

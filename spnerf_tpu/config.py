@@ -235,6 +235,14 @@ def build_train_parser():
                    help="coarse-to-fine: ramp the fine hash levels in over "
                         "the first N steps (0 = off; the 2 coarsest levels "
                         "are always active)")
+    p.add_argument("--hash_table_wd", type=float, default=0.0,
+                   help="AdamW-style decoupled weight decay on the hash "
+                        "TABLE rows only (0 = off; trunk/heads always plain "
+                        "Adam). Regularizes colliding/stale table rows")
+    p.add_argument("--hash_level_lr_decay", type=float, default=1.0,
+                   help="per-level lr decay on the hash table: level l "
+                        "steps at lr * gamma**l (1.0 = off). A smoothness "
+                        "prior — finer levels learn slower")
     p.add_argument("--no_hash_direct_coarse", action="store_true",
                    help="hash every level even when the dense grid fits the "
                         "table (pre-round-3 behavior; needed to evaluate "

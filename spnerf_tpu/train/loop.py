@@ -55,6 +55,63 @@ def make_lr_schedule(lr, steps_per_epoch):
     )
 
 
+def _table_mask(params):
+    """Pytree of bools marking hash-table leaves (param name "table").
+
+    Used to scope optional regularizers to the NGP table rows only — the
+    trunk/head kernels keep plain Adam semantics."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(path)
+        and getattr(path[-1], "key", None) == "table",
+        params,
+    )
+
+
+def _scale_table_levels(gamma, n_levels):
+    """Optax transform: multiply the hash TABLE update's level-l row by
+    gamma**l (per-level lr decay — finer levels step slower). Placed AFTER
+    scale_by_adam so it scales the effective lr, not the gradient (which
+    Adam's normalization would cancel). Identity on every other leaf."""
+    mult = (float(gamma) ** np.arange(n_levels, dtype=np.float64)).astype(
+        np.float32)[:, None]
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * mult
+            if (path and getattr(path[-1], "key", None) == "table") else u,
+            updates,
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
+def make_optimizer(lr_schedule, table_wd=0.0, table_level_lr_decay=1.0,
+                   n_levels=8):
+    """Adam (torch-default hyperparams), optionally with hash-table-only
+    regularizers (both default OFF — the plain `optax.adam` path is kept
+    bitwise identical, and its opt_state layout checkpoint-compatible):
+
+      * table_wd: AdamW-style decoupled weight decay on the table rows only
+        (decay added after Adam scaling, multiplied by the lr schedule) —
+        the Instant-NGP-style remedy for stale/colliding table rows drifting.
+      * table_level_lr_decay: gamma < 1 scales level l's effective lr by
+        gamma**l so finer (higher-frequency) levels step slower — a
+        smoothness prior on the multires pyramid.
+    """
+    if table_wd == 0.0 and table_level_lr_decay == 1.0:
+        return optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
+    chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+    if table_level_lr_decay != 1.0:
+        chain.append(_scale_table_levels(table_level_lr_decay, n_levels))
+    if table_wd != 0.0:
+        chain.append(optax.add_decayed_weights(table_wd, mask=_table_mask))
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*chain)
+
+
 def scene_to_device_arrays(scene, pad_to: Optional[int] = None):
     """Pack the host scene into the dict of arrays the train step consumes.
 
@@ -95,6 +152,8 @@ class Trainer:
         t_vocab=30,
         mesh: Optional[Mesh] = None,
         donate=True,
+        table_wd=0.0,
+        table_level_lr_decay=1.0,
     ):
         self.mc, self.rc, self.lc = mc, rc, lc
         self.steps_per_epoch = int(steps_per_epoch)
@@ -138,7 +197,9 @@ class Trainer:
         # default for eval rendering (build_render_fn). Both training kernels
         # were measured, documented (CLAUDE.md round-2), and removed.
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
-        self.tx = optax.adam(self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
+        self.tx = make_optimizer(self.lr_schedule, table_wd=table_wd,
+                                 table_level_lr_decay=table_level_lr_decay,
+                                 n_levels=mc.hash_levels)
         self._train_step = None
         self._render_fn = None
 

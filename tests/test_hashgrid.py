@@ -262,6 +262,66 @@ def test_hash_level_annealing(rng):
         np.testing.assert_array_equal(np.asarray(l_on), np.asarray(l_off))
 
 
+def test_table_wd_and_level_lr_decay(rng):
+    """--hash_table_wd / --hash_level_lr_decay (opt-in table regularizers):
+    vs the plain-Adam trainer on one identical step,
+      * table_wd shifts ONLY the table leaf, by exactly -lr * wd * table
+        (AdamW-decoupled: decay added after Adam scaling, scaled by lr);
+      * level_lr_decay gamma scales level l's table update by gamma**l and
+        nothing else.
+    Every non-table leaf stays bitwise identical in both cases (the chain
+    decomposition scale_by_adam + scale_by_learning_rate == optax.adam)."""
+    from spnerf_tpu.config import LossConfig, ModelConfig, RenderConfig
+    from spnerf_tpu.train.loop import Trainer
+    from test_train import _fake_data
+
+    L = 4
+    mc = ModelConfig(fc_units=32, fc_layers=2, skips=(), encoding="hash",
+                     hash_levels=L, hash_features=2, hash_log2T=12)
+    rc = RenderConfig(n_samples=6, compute_dtype="float32")
+    kw = dict(lr=1e-3, steps_per_epoch=10, max_steps=100, donate=False)
+    wd, gamma = 1e-2, 0.5
+    tr0 = Trainer(mc, rc, LossConfig(), **kw)
+    tr_wd = Trainer(mc, rc, LossConfig(), table_wd=wd, **kw)
+    tr_lv = Trainer(mc, rc, LossConfig(), table_level_lr_decay=gamma, **kw)
+
+    data = {k: jnp.asarray(v) for k, v in
+            _fake_data(np.random.default_rng(3)).items()}
+    key = jax.random.PRNGKey(1)
+    states = []
+    for tr in (tr0, tr_wd, tr_lv):
+        s = tr.init_state(jax.random.PRNGKey(0))
+        states.append(tr.build_train_step(64)(s, data, key)[0])
+    s0, s_wd, s_lv = states
+    path = ("coarse", "HashGridEncoding_0", "table")
+
+    def leaves(state):
+        import flax
+
+        return flax.traverse_util.flatten_dict(state.params)
+
+    t0_init = np.asarray(
+        tr0.init_state(jax.random.PRNGKey(0)).params["coarse"][
+            "HashGridEncoding_0"]["table"])
+    lr = float(tr0.lr_schedule(0))
+    for k, v in leaves(s0).items():
+        if k == path:
+            # wd: delta is exactly -lr * wd * table_initial on the table
+            np.testing.assert_allclose(
+                np.asarray(leaves(s_wd)[k]), np.asarray(v) - lr * wd * t0_init,
+                rtol=0, atol=1e-9)
+            # level decay: per-level update ratio gamma**l
+            upd0 = np.asarray(v) - t0_init
+            upd_lv = np.asarray(leaves(s_lv)[k]) - t0_init
+            mult = gamma ** np.arange(L, dtype=np.float64)[:, None]
+            np.testing.assert_allclose(upd_lv, upd0 * mult, rtol=0, atol=1e-9)
+        else:
+            np.testing.assert_array_equal(np.asarray(leaves(s_wd)[k]),
+                                          np.asarray(v))
+            np.testing.assert_array_equal(np.asarray(leaves(s_lv)[k]),
+                                          np.asarray(v))
+
+
 @pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
 def test_boundary_points_keep_full_gradient_mass(rng, impl):
     """Regression for the +1-face cell aliasing: with side = res+1 a power
