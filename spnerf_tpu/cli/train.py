@@ -102,6 +102,8 @@ def build_trainer_and_scene(args, mesh=None):
         mesh=mesh,
         table_wd=getattr(args, "hash_table_wd", 0.0),
         table_level_lr_decay=getattr(args, "hash_level_lr_decay", 1.0),
+        occ_rows=getattr(args, "occ_rows", 4096),
+        occ_decay=getattr(args, "occ_decay", 0.8),
     )
     return trainer, scene, steps_per_epoch
 
@@ -135,7 +137,10 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
                   if "," in args.aoi_id else args.gt_dir)
         sample = sub_scene.load_val_image(rec, with_sem=args.sem)
         t = predefined_val_ts(rec.img_id)
-        out = render(params, sample["rays"], t, sample.get("sems"))
+        # --occgrid: eval renders place samples by the trained grid too, so
+        # validation measures the same sampling the model was trained under
+        out = render(params, sample["rays"], t, sample.get("sems"),
+                     occ=jax.device_get(state.occ))
         typ = "fine" if "rgb_fine" in out else "coarse"
         h, w = sample["h"], sample["w"]
         img = out[f"rgb_{typ}"].reshape(h, w, 3)
@@ -381,8 +386,11 @@ def main(argv=None):
         n_enc_passes = (1 + int(args.guidedsample) + int(args.sc_lambda > 0)
                         + 2 * int(args.n_importance > 0))
         # +8: per-step sparse ops OUTSIDE the encoding (7 batch gathers in
-        # Trainer._step_impl, transient-embedding gather) share the budget
-        sparse_per_step = n_enc_passes * (2 * args.hash_levels + 2) + 8
+        # Trainer._step_impl, transient-embedding gather) share the budget;
+        # --occgrid adds one grid gather (occ_z_vals; update_grid is pure
+        # dynamic_slice and costs none)
+        sparse_per_step = (n_enc_passes * (2 * args.hash_levels + 2) + 8
+                           + int(getattr(args, "occgrid", False)))
         window_len = min(window_len, max(1, 2400 // sparse_per_step))
     run_window = trainer.build_train_scan(args.batch_size, window_len)
     run_tail = None

@@ -80,6 +80,13 @@ class RenderConfig:
     use_pallas: bool = False  # fused Pallas MLP kernel for the field evaluation
     proposal: bool = False  # density-only proposal sampler (NGP-class stretch)
     n_proposal: int = 64  # proposal samples per ray
+    # occupancy-grid guided coarse sampling (--occgrid, ops/occgrid.py):
+    # redistributes the static coarse sample budget by a cached density grid
+    # (NGP-style; no reference counterpart). Mutually exclusive with proposal.
+    occ_grid: bool = False
+    occ_res: int = 64  # grid resolution per axis (res^3 cells)
+    occ_bins: int = 128  # per-ray depth bins weighted by the grid
+    occ_floor: float = 0.01  # uniform exploration floor per bin
 
 
 @dataclass(frozen=True)
@@ -256,6 +263,23 @@ def build_train_parser():
                         "field's samples (interlevel loss)")
     p.add_argument("--n_proposal", type=int, default=64)
     p.add_argument("--prop_lambda", type=float, default=1.0)
+    p.add_argument("--occgrid", action="store_true",
+                   help="occupancy-grid guided coarse sampling (NGP-style "
+                        "density cache, ops/occgrid.py): redistribute the "
+                        "static coarse sample budget toward occupied space. "
+                        "Mutually exclusive with --proposal and multi-AOI")
+    p.add_argument("--occ_res", type=int, default=64,
+                   help="occupancy grid resolution per axis (res^3 cells)")
+    p.add_argument("--occ_bins", type=int, default=128,
+                   help="per-ray depth bins weighted by the grid")
+    p.add_argument("--occ_floor", type=float, default=0.01,
+                   help="uniform exploration floor per bin (keeps "
+                        "empty-looking space sampled so wrong grids recover)")
+    p.add_argument("--occ_rows", type=int, default=4096,
+                   help="grid cells refreshed per train step (one contiguous "
+                        "slab; snapped down to a divisor of occ_res^3)")
+    p.add_argument("--occ_decay", type=float, default=0.8,
+                   help="per-visit EMA decay of cached cell densities")
     # TPU-native extras (not in the reference)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"],
@@ -287,6 +311,16 @@ def finalize_args(args, make_dirs=True):
         # opts.json records the value the run actually used
         args.lr = 1e-2 if getattr(args, "encoding", "siren") == "hash" \
             else 5e-4
+    if getattr(args, "occgrid", False):
+        # the grid caches density over the PRIMARY frame's [-1, 1]^3 box only;
+        # extra AOIs are translated outside it (data/multi.py) and a proposal
+        # sampler already owns sample placement
+        if getattr(args, "proposal", False):
+            raise SystemExit("--occgrid and --proposal are mutually exclusive "
+                             "(both own coarse sample placement)")
+        if "," in str(getattr(args, "aoi_id", "")):
+            raise SystemExit("--occgrid does not support multi-AOI runs (the "
+                             "grid covers the primary frame's box only)")
     if args.dataset_dir is None:
         args.dataset_dir = os.path.join(args.project_dir, "dataset", args.dataset_name)
     args.depth_dir = os.path.join(args.dataset_dir, "Depth")
@@ -352,6 +386,10 @@ def render_config_from_args(args) -> RenderConfig:
         use_pallas=getattr(args, "use_pallas", False),
         proposal=getattr(args, "proposal", False),
         n_proposal=getattr(args, "n_proposal", 64),
+        occ_grid=getattr(args, "occgrid", False),
+        occ_res=getattr(args, "occ_res", 64),
+        occ_bins=getattr(args, "occ_bins", 128),
+        occ_floor=getattr(args, "occ_floor", 0.01),
     )
 
 

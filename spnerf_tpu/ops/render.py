@@ -201,6 +201,7 @@ def render_rays(
     noise_std=0.0,
     fine_field_apply=None,
     proposal_apply=None,
+    occ=None,
 ):
     """Render a batch of rays.
 
@@ -251,6 +252,15 @@ def render_rays(
         z_vals = resample_from_weights(get("prop_pdf"), z_prop, w_prop,
                                        rc.n_samples, det=(rc.perturb == 0.0))
         prop_extras = {"z_prop": z_prop, "w_prop": w_prop}
+    elif rc.occ_grid and occ is not None:
+        # occupancy-grid guided coarse placement (--occgrid, ops/occgrid.py):
+        # the static coarse budget is drawn from per-ray depth bins weighted
+        # by the cached density grid instead of stratified-uniform
+        from .occgrid import occ_z_vals
+
+        z_vals = occ_z_vals(get("strat"), occ, rays_o, rays_d, near, far,
+                            rc.n_samples, rc.occ_res, n_bins=rc.occ_bins,
+                            floor=rc.occ_floor, det=(rc.perturb == 0.0))
     else:
         z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples,
                                    rc.perturb)

@@ -42,6 +42,9 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # occupancy grid (--occgrid): (res^3,) f32 density cache, or None.
+    # None keeps the pytree/checkpoint layout of pre-occgrid runs.
+    occ: Any = None
 
 
 def make_lr_schedule(lr, steps_per_epoch):
@@ -154,6 +157,8 @@ class Trainer:
         donate=True,
         table_wd=0.0,
         table_level_lr_decay=1.0,
+        occ_rows=4096,
+        occ_decay=0.8,
     ):
         self.mc, self.rc, self.lc = mc, rc, lc
         self.steps_per_epoch = int(steps_per_epoch)
@@ -196,6 +201,18 @@ class Trainer:
         # wins 5x standalone (8.5 vs 42.5 ms on 131k points) and is the
         # default for eval rendering (build_render_fn). Both training kernels
         # were measured, documented (CLAUDE.md round-2), and removed.
+        # occupancy-grid update config (--occgrid): refresh `occ_rows` cells
+        # per step (one contiguous slab, rotating offset — see ops/occgrid);
+        # rows is snapped down to a divisor of res^3 so slabs tile exactly
+        self.occ_rows = self.occ_decay = None
+        if rc.occ_grid:
+            n_cells = rc.occ_res ** 3
+            rows = min(max(int(occ_rows), 1), n_cells)
+            while n_cells % rows:  # largest divisor of res^3 <= requested
+                rows -= 1
+            self.occ_rows = rows
+            self.occ_decay = float(occ_decay)
+
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
         self.tx = make_optimizer(self.lr_schedule, table_wd=table_wd,
                                  table_level_lr_decay=table_level_lr_decay,
@@ -219,8 +236,13 @@ class Trainer:
             params["proposal"] = self.proposal_model.init(
                 jax.random.fold_in(key, 99), jnp.zeros((2, 3)))["params"]
         opt_state = self.tx.init(params)
+        occ = None
+        if self.rc.occ_grid:
+            from ..ops.occgrid import init_grid
+
+            occ = init_grid(self.rc.occ_res)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          opt_state=opt_state)
+                          opt_state=opt_state, occ=occ)
 
     # ------------------------------------------------------------- rendering
     def _field_apply(self, params, which="coarse", anneal=None):
@@ -237,7 +259,7 @@ class Trainer:
 
     def _render(self, params, rays, ts, sems, key, train, valid_depth=None,
                 target_depths=None, target_std=None, noise_std=0.0,
-                anneal=None):
+                anneal=None, occ=None):
         t_emb = None
         if self.t_embed is not None:
             t_emb = self.t_embed.apply({"params": params["t"]}, ts)
@@ -263,10 +285,11 @@ class Trainer:
             noise_std=noise_std,
             fine_field_apply=fine_apply,
             proposal_apply=proposal_apply,
+            occ=occ,
         )
 
     # ------------------------------------------------------------ train step
-    def _loss_fn(self, params, batch, key, step):
+    def _loss_fn(self, params, batch, key, step, occ=None):
         if self.noise_std0 == 0.0:
             noise_std = 0.0  # static: composite skips its PRNG entirely
         else:
@@ -295,6 +318,7 @@ class Trainer:
             target_std=batch["depth_std"],
             noise_std=noise_std,
             anneal=anneal,
+            occ=occ,
         )
         use_beta = step >= self.beta_warmup_step
         total, loss_dict = losses.total_loss(
@@ -329,7 +353,7 @@ class Trainer:
         batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
         (loss, loss_dict), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, batch, k_render, state.step
+            state.params, batch, k_render, state.step, state.occ
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -337,8 +361,31 @@ class Trainer:
             loss = jax.lax.pmean(loss, axis_name)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_occ = state.occ
+        if state.occ is not None:
+            # slab-sweep density-cache refresh (ops/occgrid.update_grid).
+            # The key is deliberately NOT folded with the device axis: the
+            # state (and so the grid) is replicated under shard_map, and a
+            # per-device jitter would silently diverge the replicas.
+            from ..ops.occgrid import update_grid
+
+            k_occ = jax.random.fold_in(jax.random.fold_in(key, state.step),
+                                       0x0CC)
+
+            def sigma_fn(xyz):
+                m = xyz.shape[0]
+                sem = (jnp.full((m,), -100, jnp.int32)
+                       if self.mc.sem else None)
+                return self.model.apply(
+                    {"params": new_params["coarse"]}, xyz,
+                    jnp.zeros((m, 3), xyz.dtype), None, sem,
+                    sigma_only=True)["sigma"]
+
+            new_occ = update_grid(state.occ, sigma_fn, k_occ, state.step,
+                                  self.rc.occ_res, self.occ_rows,
+                                  self.occ_decay)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt)
+                                  opt_state=new_opt, occ=new_occ)
         loss_dict["loss"] = loss
         loss_dict["lr"] = self.lr_schedule(state.step)
         return new_state, loss_dict
@@ -524,6 +571,12 @@ class Trainer:
 
         post = self._lean_eval_outputs if lean else (lambda out: out)
 
+        # --occgrid: eval renders thread the trained density grid through as
+        # one extra replicated operand so sample PLACEMENT matches training
+        # (render_image's `occ` kwarg; a uniform grid stands in when absent)
+        with_occ = bool(self.rc.occ_grid)
+        occ_specs = (P(),) if with_occ else ()
+
         if use_pallas:
             from ..ops.pallas import fused_field_apply
             from ..ops import render_rays as _render_rays
@@ -531,7 +584,7 @@ class Trainer:
             interpret = jax.default_backend() == "cpu"
 
             @jax.jit
-            def render_chunk(params, rays, ts, sems):
+            def render_chunk(params, rays, ts, sems, *occ):
                 fused = fused_field_apply(
                     params["coarse"], self.mc,
                     compute_dtype=self.rc.compute_dtype,
@@ -545,12 +598,14 @@ class Trainer:
                     t_emb=t_emb,
                     sems=sems if self.mc.sem else None,
                     key=None, train=False,
+                    occ=occ[0] if occ else None,
                 ))
         else:
             @jax.jit
-            def render_chunk(params, rays, ts, sems):
+            def render_chunk(params, rays, ts, sems, *occ):
                 return post(self._render(params, rays, ts, sems, key=None,
-                                         train=False))
+                                         train=False,
+                                         occ=occ[0] if occ else None))
 
         if self.mesh is not None:
             # shard eval rendering over rays: each device renders chunk/n_dev
@@ -563,16 +618,16 @@ class Trainer:
             inner = render_chunk
 
             @jax.jit
-            def render_chunk(params, rays, ts, sems):
-                def shard_fn(params, rays, ts, sems):
-                    return inner(params, rays, ts, sems)
+            def render_chunk(params, rays, ts, sems, *occ):
+                def shard_fn(params, rays, ts, sems, *occ):
+                    return inner(params, rays, ts, sems, *occ)
 
                 return jax.shard_map(
                     shard_fn, mesh=mesh,
-                    in_specs=(P(), P(axis), P(axis), P(axis)),
+                    in_specs=(P(), P(axis), P(axis), P(axis)) + occ_specs,
                     out_specs=P(axis),
                     check_vma=False,
-                )(params, rays, ts, sems)
+                )(params, rays, ts, sems, *occ)
 
         # G chunks render per device dispatch (lax.map: sequential on device,
         # one host round-trip per group). The tunneled chip pays ~seconds of
@@ -584,11 +639,12 @@ class Trainer:
         group = max(int(os.environ.get("SPNERF_EVAL_GROUP", "8")), 1)
 
         @jax.jit
-        def render_group(params, rays_g, ts_g, sems_g):
+        def render_group(params, rays_g, ts_g, sems_g, *occ):
             return jax.lax.map(
-                lambda a: render_chunk(params, *a), (rays_g, ts_g, sems_g))
+                lambda a: render_chunk(params, *a, *occ),
+                (rays_g, ts_g, sems_g))
 
-        def render_image(params, rays, t, sems=None):
+        def render_image(params, rays, t, sems=None, occ=None):
             # upload the parameter tree ONCE per image: callers pass host
             # numpy params (jax.device_get in run_validation), and jit does
             # not cache host->device transfers across calls — without this,
@@ -598,6 +654,16 @@ class Trainer:
                 params = jax.device_put(params, NamedSharding(self.mesh, P()))
             else:
                 params = jax.device_put(params)
+            occ_args = ()
+            if with_occ:
+                if occ is None:
+                    from ..ops.occgrid import init_grid
+
+                    occ = init_grid(self.rc.occ_res)  # uniform prior
+                occ = jnp.asarray(occ)
+                occ_args = ((jax.device_put(
+                    occ, NamedSharding(self.mesh, P()))
+                    if self.mesh is not None else jax.device_put(occ)),)
             n = rays.shape[0]
             n_chunks = -(-n // chunk)
             n_groups = -(-n_chunks // group)
@@ -623,7 +689,8 @@ class Trainer:
 
             for g in range(n_groups):
                 out = render_group(params, jnp.asarray(r[g]),
-                                   jnp.asarray(ts[g]), jnp.asarray(sm[g]))
+                                   jnp.asarray(ts[g]), jnp.asarray(sm[g]),
+                                   *occ_args)
                 pending.append(out)
                 if len(pending) >= 2:
                     materialize(pending.pop(0))
