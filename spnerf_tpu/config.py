@@ -84,9 +84,10 @@ class RenderConfig:
     # redistributes the static coarse sample budget by a cached density grid
     # (NGP-style; no reference counterpart). Mutually exclusive with proposal.
     occ_grid: bool = False
-    occ_res: int = 64  # grid resolution per axis (res^3 cells)
+    occ_res: int = 64  # grid resolution per axis (res^3 cells per frame)
     occ_bins: int = 128  # per-ray depth bins weighted by the grid
     occ_floor: float = 0.01  # uniform exploration floor per bin
+    occ_frames: int = 1  # multi-AOI: one res^3 block per translated frame
 
 
 @dataclass(frozen=True)
@@ -267,7 +268,10 @@ def build_train_parser():
                    help="occupancy-grid guided coarse sampling (NGP-style "
                         "density cache, ops/occgrid.py): redistribute the "
                         "static coarse sample budget toward occupied space. "
-                        "Mutually exclusive with --proposal and multi-AOI")
+                        "Multi-AOI runs keep one grid block per frame. "
+                        "Mutually exclusive with --proposal. Measured as a "
+                        "siren-flagship lever; a quality negative on "
+                        "--encoding hash tuned-depth runs (README)")
     p.add_argument("--occ_res", type=int, default=64,
                    help="occupancy grid resolution per axis (res^3 cells)")
     p.add_argument("--occ_bins", type=int, default=128,
@@ -311,16 +315,10 @@ def finalize_args(args, make_dirs=True):
         # opts.json records the value the run actually used
         args.lr = 1e-2 if getattr(args, "encoding", "siren") == "hash" \
             else 5e-4
-    if getattr(args, "occgrid", False):
-        # the grid caches density over the PRIMARY frame's [-1, 1]^3 box only;
-        # extra AOIs are translated outside it (data/multi.py) and a proposal
-        # sampler already owns sample placement
-        if getattr(args, "proposal", False):
-            raise SystemExit("--occgrid and --proposal are mutually exclusive "
-                             "(both own coarse sample placement)")
-        if "," in str(getattr(args, "aoi_id", "")):
-            raise SystemExit("--occgrid does not support multi-AOI runs (the "
-                             "grid covers the primary frame's box only)")
+    if getattr(args, "occgrid", False) and getattr(args, "proposal", False):
+        # a proposal sampler already owns coarse sample placement
+        raise SystemExit("--occgrid and --proposal are mutually exclusive "
+                         "(both own coarse sample placement)")
     if args.dataset_dir is None:
         args.dataset_dir = os.path.join(args.project_dir, "dataset", args.dataset_name)
     args.depth_dir = os.path.join(args.dataset_dir, "Depth")
@@ -390,6 +388,9 @@ def render_config_from_args(args) -> RenderConfig:
         occ_res=getattr(args, "occ_res", 64),
         occ_bins=getattr(args, "occ_bins", 128),
         occ_floor=getattr(args, "occ_floor", 0.01),
+        # one grid block per translated AOI frame (same count as hash_frames)
+        occ_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")
+                              .split(","))),
     )
 
 

@@ -260,7 +260,8 @@ def render_rays(
 
         z_vals = occ_z_vals(get("strat"), occ, rays_o, rays_d, near, far,
                             rc.n_samples, rc.occ_res, n_bins=rc.occ_bins,
-                            floor=rc.occ_floor, det=(rc.perturb == 0.0))
+                            floor=rc.occ_floor, det=(rc.perturb == 0.0),
+                            frames=rc.occ_frames)
     else:
         z_vals = stratified_z_vals(get("strat"), near, far, rc.n_samples,
                                    rc.perturb)

@@ -206,9 +206,9 @@ class Trainer:
         # rows is snapped down to a divisor of res^3 so slabs tile exactly
         self.occ_rows = self.occ_decay = None
         if rc.occ_grid:
-            n_cells = rc.occ_res ** 3
+            n_cells = rc.occ_frames * rc.occ_res ** 3
             rows = min(max(int(occ_rows), 1), n_cells)
-            while n_cells % rows:  # largest divisor of res^3 <= requested
+            while n_cells % rows:  # largest divisor of the cell count
                 rows -= 1
             self.occ_rows = rows
             self.occ_decay = float(occ_decay)
@@ -240,7 +240,7 @@ class Trainer:
         if self.rc.occ_grid:
             from ..ops.occgrid import init_grid
 
-            occ = init_grid(self.rc.occ_res)
+            occ = init_grid(self.rc.occ_res, self.rc.occ_frames)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state, occ=occ)
 
@@ -383,7 +383,8 @@ class Trainer:
 
             new_occ = update_grid(state.occ, sigma_fn, k_occ, state.step,
                                   self.rc.occ_res, self.occ_rows,
-                                  self.occ_decay)
+                                  self.occ_decay,
+                                  frames=self.rc.occ_frames)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt, occ=new_occ)
         loss_dict["loss"] = loss
@@ -659,7 +660,8 @@ class Trainer:
                 if occ is None:
                     from ..ops.occgrid import init_grid
 
-                    occ = init_grid(self.rc.occ_res)  # uniform prior
+                    # uniform prior
+                    occ = init_grid(self.rc.occ_res, self.rc.occ_frames)
                 occ = jnp.asarray(occ)
                 occ_args = ((jax.device_put(
                     occ, NamedSharding(self.mesh, P()))

@@ -279,13 +279,99 @@ def test_occgrid_flags_reach_render_config():
     assert rc.occ_bins == 48 and rc.occ_floor == pytest.approx(0.05)
 
 
-@pytest.mark.parametrize("extra", [["--proposal"], None])
-def test_occgrid_exclusions_rejected(extra, tmp_path):
+def test_occgrid_proposal_rejected(tmp_path):
     from spnerf_tpu.config import build_train_parser, finalize_args
 
-    argv = ["--project_dir", str(tmp_path), "--occgrid"]
-    argv += ["--aoi_id", "JAX_269,JAX_068"] if extra is None else \
-        ["--aoi_id", "JAX_269"] + extra
-    args = build_train_parser().parse_args(argv)
+    args = build_train_parser().parse_args(
+        ["--project_dir", str(tmp_path), "--aoi_id", "JAX_269",
+         "--occgrid", "--proposal"])
     with pytest.raises(SystemExit):
         finalize_args(args, make_dirs=False)
+
+
+def test_occgrid_multi_aoi_frames(tmp_path):
+    """Multi-AOI runs get one grid block per translated frame."""
+    from spnerf_tpu.config import (
+        build_train_parser,
+        finalize_args,
+        render_config_from_args,
+    )
+
+    args = build_train_parser().parse_args(
+        ["--project_dir", str(tmp_path), "--aoi_id", "JAX_269,JAX_068",
+         "--occgrid"])
+    finalize_args(args, make_dirs=False)  # accepted
+    rc = render_config_from_args(args)
+    assert rc.occ_frames == 2
+
+
+# ------------------------------------------------------------- multi-frame
+def test_lookup_lin_multi_frame():
+    """Frame k's translated box maps into grid block k, with the same local
+    cell as the untranslated point (mirrors the hash encoder's frame rule)."""
+    from spnerf_tpu.data.multi import FRAME_SPACING
+
+    res, frames = 8, 3
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-0.99, 0.99, size=(200, 3)).astype(np.float32)
+    lin0 = np.asarray(_lookup_lin(jnp.asarray(base), res, frames))
+    for k in (1, 2):
+        pts = base + np.array([k * FRAME_SPACING, 0.0, 0.0], np.float32)
+        link = np.asarray(_lookup_lin(jnp.asarray(pts), res, frames))
+        np.testing.assert_array_equal(link, lin0 + k * res ** 3)
+    # out-of-range frames clamp to the LAST block; the residual x offset
+    # then clips to the box's +x face (x-cell = res-1), like any
+    # out-of-box point within a frame
+    far_pts = base + np.array([10 * FRAME_SPACING, 0.0, 0.0], np.float32)
+    linf = np.asarray(_lookup_lin(jnp.asarray(far_pts), res, frames))
+    assert (linf >= 2 * res ** 3).all() and (linf < 3 * res ** 3).all()
+    assert ((linf - 2 * res ** 3) // (res * res) == res - 1).all()
+
+
+def test_update_grid_multi_frame_sweeps_all_blocks():
+    """The slab sweep refreshes every frame's block, and the update points
+    land inside the right frame's translated box."""
+    from spnerf_tpu.data.multi import FRAME_SPACING
+
+    res, frames, rows = 4, 2, 32
+    n_cells = frames * res ** 3
+
+    def sigma_fn(xyz):
+        # frame index of the query point (0 or 1): proves the sweep visited
+        # each block with points translated into ITS box
+        return jnp.round(xyz[:, 0] / FRAME_SPACING)
+
+    occ = init_grid(res, frames) * -1.0  # sigma side of the max always wins
+    key = jax.random.PRNGKey(0)
+    for s in range(n_cells // rows):
+        occ = update_grid(occ, sigma_fn, jax.random.fold_in(key, s),
+                          jnp.int32(s), res, rows, 0.9, frames=frames)
+    got = np.asarray(occ)
+    want = np.repeat(np.arange(frames, dtype=np.float32), res ** 3)
+    np.testing.assert_allclose(got, want)
+
+
+def test_occ_z_vals_multi_frame_uses_own_block():
+    """Rays in frame 1's box read frame 1's grid block: density peaked in
+    frame 1 concentrates frame-1 rays but leaves frame-0 rays uniform."""
+    from spnerf_tpu.data.multi import FRAME_SPACING
+
+    res, frames, n, s = 16, 2, 32, 32
+    occ = np.full((frames, res, res, res), 1e-6, np.float32)
+    occ[0, :, :, :] = 1.0  # frame 0: uniform
+    occ[1, 8:10, :, :] = 5.0  # frame 1: slab at local x in [0, 0.25]
+    occ = jnp.asarray(occ.reshape(-1))
+
+    for k, expect_peak in ((0, False), (1, True)):
+        o = np.tile(np.array([[k * FRAME_SPACING - 1.0, 0.0, 0.0]],
+                             np.float32), (n, 1))
+        d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+        z = np.asarray(occ_z_vals(
+            jax.random.PRNGKey(k), occ, jnp.asarray(o), jnp.asarray(d),
+            jnp.zeros((n, 1), jnp.float32), jnp.full((n, 1), 2.0, jnp.float32),
+            s, res, n_bins=64, floor=0.01, frames=frames))
+        frac_in = ((z >= 1.0) & (z <= 1.25)).mean()
+        if expect_peak:
+            assert frac_in > 0.7, frac_in
+        else:
+            assert frac_in < 0.3, frac_in
