@@ -387,10 +387,13 @@ def main(argv=None):
                         + 2 * int(args.n_importance > 0))
         # +8: per-step sparse ops OUTSIDE the encoding (7 batch gathers in
         # Trainer._step_impl, transient-embedding gather) share the budget;
-        # --occgrid adds one grid gather (occ_z_vals; update_grid is pure
-        # dynamic_slice and costs none)
+        # --occgrid adds one grid gather (occ_z_vals) PLUS a full
+        # hash-encoding forward inside update_grid's sigma_fn (~hash_levels
+        # table gathers — stop_gradient drops only the backward); the slab
+        # update itself is pure dynamic_slice and costs none
         sparse_per_step = (n_enc_passes * (2 * args.hash_levels + 2) + 8
-                           + int(getattr(args, "occgrid", False)))
+                           + (1 + args.hash_levels)
+                           * int(getattr(args, "occgrid", False)))
         window_len = min(window_len, max(1, 2400 // sparse_per_step))
     run_window = trainer.build_train_scan(args.batch_size, window_len)
     run_tail = None

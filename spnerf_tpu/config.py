@@ -347,6 +347,13 @@ def finalize_args(args, make_dirs=True):
     return args
 
 
+def _aoi_frames(args) -> int:
+    """Number of translated multi-AOI frames (comma-separated --aoi_id).
+    Shared by the hash encoder's frame count and the occupancy grid's block
+    count — they must agree with data/multi.py's scene translation."""
+    return max(1, len(str(getattr(args, "aoi_id", "") or "").split(",")))
+
+
 def model_config_from_args(args) -> ModelConfig:
     return ModelConfig(
         fc_layers=args.fc_layers,
@@ -367,8 +374,7 @@ def model_config_from_args(args) -> ModelConfig:
         hash_anneal_steps=getattr(args, "hash_anneal_steps", 0),
         # multi-AOI (comma-separated aoi_id): hash each AOI frame at full
         # resolution in its own pseudo-table (models/hashgrid.py frames)
-        hash_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")
-                               .split(","))),
+        hash_frames=_aoi_frames(args),
     )
 
 
@@ -389,8 +395,7 @@ def render_config_from_args(args) -> RenderConfig:
         occ_bins=getattr(args, "occ_bins", 128),
         occ_floor=getattr(args, "occ_floor", 0.01),
         # one grid block per translated AOI frame (same count as hash_frames)
-        occ_frames=max(1, len(str(getattr(args, "aoi_id", "") or "")
-                              .split(","))),
+        occ_frames=_aoi_frames(args),
     )
 
 

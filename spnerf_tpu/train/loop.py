@@ -289,23 +289,26 @@ class Trainer:
         )
 
     # ------------------------------------------------------------ train step
+    def _anneal(self, step):
+        """Per-level hash feature weights at `step` (coarse-to-fine,
+        BARF-style, --hash_anneal_steps): the 2 coarsest levels are always
+        on; the rest ramp in linearly so all levels are fully open by
+        hash_anneal_steps. None when annealing is off / non-hash."""
+        if self.mc.encoding != "hash" or self.mc.hash_anneal_steps <= 0:
+            return None
+        L = self.mc.hash_levels
+        keep = min(2, L)
+        frac = jnp.minimum(
+            step.astype(jnp.float32) / self.mc.hash_anneal_steps, 1.0)
+        active = keep + (L - keep) * frac
+        return jnp.clip(active - jnp.arange(L, dtype=jnp.float32), 0.0, 1.0)
+
     def _loss_fn(self, params, batch, key, step, occ=None):
         if self.noise_std0 == 0.0:
             noise_std = 0.0  # static: composite skips its PRNG entirely
         else:
             noise_std = self.noise_std0 * jnp.power(0.9, step.astype(jnp.float32))
-        anneal = None
-        if self.mc.encoding == "hash" and self.mc.hash_anneal_steps > 0:
-            # coarse-to-fine (BARF-style, --hash_anneal_steps): the 2
-            # coarsest levels are always on; the rest ramp in linearly so
-            # all levels are fully open by hash_anneal_steps
-            L = self.mc.hash_levels
-            keep = min(2, L)
-            frac = jnp.minimum(
-                step.astype(jnp.float32) / self.mc.hash_anneal_steps, 1.0)
-            active = keep + (L - keep) * frac
-            anneal = jnp.clip(
-                active - jnp.arange(L, dtype=jnp.float32), 0.0, 1.0)
+        anneal = self._anneal(step)
         results = self._render(
             params,
             batch["rays"],
@@ -372,14 +375,20 @@ class Trainer:
             k_occ = jax.random.fold_in(jax.random.fold_in(key, state.step),
                                        0x0CC)
 
+            # the cached density must match the field the renderer composits:
+            # under --hash_anneal_steps the fine levels are zero-weighted, so
+            # the grid refresh applies the SAME per-level anneal
+            occ_anneal = self._anneal(state.step)
+
             def sigma_fn(xyz):
                 m = xyz.shape[0]
                 sem = (jnp.full((m,), -100, jnp.int32)
                        if self.mc.sem else None)
+                kw = {} if occ_anneal is None else {"anneal": occ_anneal}
                 return self.model.apply(
                     {"params": new_params["coarse"]}, xyz,
                     jnp.zeros((m, 3), xyz.dtype), None, sem,
-                    sigma_only=True)["sigma"]
+                    sigma_only=True, **kw)["sigma"]
 
             new_occ = update_grid(state.occ, sigma_fn, k_occ, state.step,
                                   self.rc.occ_res, self.occ_rows,

@@ -267,6 +267,57 @@ def test_checkpoint_roundtrip_with_occ(tmp_path, rng):
     assert int(restored.step) == 1
 
 
+def test_occ_update_respects_hash_anneal(rng):
+    """Under --hash_anneal_steps the grid refresh must evaluate the SAME
+    annealed field the renderer composits (fine levels zero-weighted at
+    step 0), not the fully-open field."""
+    from spnerf_tpu.ops.occgrid import update_grid as _upd
+
+    mc = ModelConfig(fc_units=32, fc_layers=2, skips=(), encoding="hash",
+                     hash_levels=4, hash_features=2, hash_log2T=10,
+                     hash_anneal_steps=100)
+    rc = RenderConfig(n_samples=6, compute_dtype="float32", occ_grid=True,
+                      occ_res=8, occ_bins=16)
+    tr = Trainer(mc, rc, LossConfig(), occ_rows=64, occ_decay=0.5,
+                 donate=False)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    data = {k: jnp.asarray(v) for k, v in _fake_data(rng, 512).items()}
+    step = tr.build_train_step(64)
+    key = jax.random.PRNGKey(3)
+    new_state, _ = step(state, data, key)
+    got = np.asarray(new_state.occ)
+
+    k_occ = jax.random.fold_in(jax.random.fold_in(key, jnp.int32(0)), 0x0CC)
+    anneal0 = tr._anneal(jnp.int32(0))  # step 0: only 2 coarse levels on
+    assert anneal0 is not None and float(anneal0[2]) == 0.0
+
+    def sigma_annealed(xyz):
+        return tr.model.apply(
+            {"params": jax.device_get(new_state.params)["coarse"]}, xyz,
+            jnp.zeros((xyz.shape[0], 3), xyz.dtype), None, None,
+            sigma_only=True, anneal=anneal0)["sigma"]
+
+    want = np.asarray(_upd(jnp.ones_like(new_state.occ), sigma_annealed,
+                           k_occ, jnp.int32(0), 8, 64, 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # and the anneal genuinely changes sigma once fine levels hold content
+    # (a 1-step-old table is still ~zero there, so inflate it explicitly)
+    params = jax.device_get(new_state.params)["coarse"]
+    big = jax.tree_util.tree_map_with_path(
+        lambda path, v: jnp.ones_like(v)
+        if any(getattr(p, "key", None) == "table" for p in path) else v,
+        params)
+    xyz = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (32, 3)),
+                      jnp.float32)
+    sun = jnp.zeros((32, 3), jnp.float32)
+    s_ann = tr.model.apply({"params": big}, xyz, sun, None, None,
+                           sigma_only=True, anneal=anneal0)["sigma"]
+    s_open = tr.model.apply({"params": big}, xyz, sun, None, None,
+                            sigma_only=True)["sigma"]
+    assert not np.allclose(np.asarray(s_ann), np.asarray(s_open))
+
+
 # ----------------------------------------------------------------- config/CLI
 def test_occgrid_flags_reach_render_config():
     from spnerf_tpu.config import build_train_parser, render_config_from_args
