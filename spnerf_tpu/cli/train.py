@@ -25,6 +25,7 @@ from ..config import (
     finalize_args,
     loss_config_from_args,
     model_config_from_args,
+    parse_xla_opts,
     render_config_from_args,
 )
 from ..data import load_scene
@@ -104,6 +105,7 @@ def build_trainer_and_scene(args, mesh=None):
         table_level_lr_decay=getattr(args, "hash_level_lr_decay", 1.0),
         occ_rows=getattr(args, "occ_rows", 4096),
         occ_decay=getattr(args, "occ_decay", 0.8),
+        compiler_options=parse_xla_opts(getattr(args, "xla_opts", "")),
     )
     return trainer, scene, steps_per_epoch
 

@@ -285,6 +285,15 @@ def build_train_parser():
     p.add_argument("--occ_decay", type=float, default=0.8,
                    help="per-visit EMA decay of cached cell densities")
     # TPU-native extras (not in the reference)
+    p.add_argument("--xla_opts", type=str, default="",
+                   help="comma-separated k=v XLA DebugOptions applied to the "
+                        "train step/scan compiles via lower().compile("
+                        "compiler_options=...) — the only route that reaches "
+                        "the tunneled remote compiler (env XLA_FLAGS does "
+                        "not). Values parse as bool/int/float when they look "
+                        "like one, else string. Example: --xla_opts "
+                        "xla_tpu_enable_latency_hiding_scheduler=false,"
+                        "xla_tpu_scoped_vmem_limit_kib=16384")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "fp32"],
                    help="MLP matmul precision (reference uses AMP fp16)")
@@ -306,6 +315,39 @@ def build_train_parser():
                         "window into <logs>/profile (reference only exposes "
                         "Lightning's profiler='simple', main.py:333)")
     return p
+
+
+def parse_xla_opts(spec):
+    """Parse the --xla_opts string into a compiler_options dict.
+
+    "k=v,k2=v2" -> {k: typed(v), ...}; values become bool for true/false,
+    int/float when numeric, else stay strings (XLA DebugOptions fields are
+    typed; the remote compile helper rejects unknown NAMES loudly but
+    silently coerces string "1" vs int 1 differently for some fields, so we
+    type eagerly).
+    """
+    opts = {}
+    for item in (spec or "").split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" not in item:
+            raise ValueError(
+                f"--xla_opts entry {item!r} is not of the form key=value")
+        k, v = item.split("=", 1)
+        vl = v.strip().lower()
+        if vl in ("true", "false"):
+            val = vl == "true"
+        else:
+            try:
+                val = int(v)
+            except ValueError:
+                try:
+                    val = float(v)
+                except ValueError:
+                    val = v.strip()
+        opts[k.strip()] = val
+    return opts
 
 
 def finalize_args(args, make_dirs=True):

@@ -138,6 +138,31 @@ def scene_to_device_arrays(scene, pad_to: Optional[int] = None):
     return arrays
 
 
+def apply_compiler_options(jfn, options):
+    """Wrap a jitted fn so it compiles with per-compile XLA DebugOptions.
+
+    jax.jit has no compiler-options argument; the supported route is
+    jfn.lower(*args).compile(compiler_options=...). Probed on the tunneled
+    v5e: options DO reach the remote compiler (invalid names are rejected
+    by the remote compile helper; xla_tpu_* fields are accepted), so this
+    is a real tuning surface — exposed on the CLI as --xla_opts. The
+    wrapper lowers lazily on first call (one shape signature per built
+    step in this Trainer) and caches the compiled executable; donation
+    semantics of the underlying jit are preserved by lower/compile.
+    """
+    if not options:
+        return jfn
+    cache = {}
+
+    def wrapped(*args):
+        if "exe" not in cache:
+            cache["exe"] = jfn.lower(*args).compile(
+                compiler_options=dict(options))
+        return cache["exe"](*args)
+
+    return wrapped
+
+
 class Trainer:
     """Owns model configs, optimizer, and the compiled train/render steps."""
 
@@ -159,7 +184,12 @@ class Trainer:
         table_level_lr_decay=1.0,
         occ_rows=4096,
         occ_decay=0.8,
+        compiler_options=None,
     ):
+        # optional per-compile XLA DebugOptions (dict), applied to the train
+        # step/scan executables via lower().compile() — see
+        # apply_compiler_options; CLI surface: --xla_opts k=v[,k=v...]
+        self.compiler_options = dict(compiler_options or {})
         self.mc, self.rc, self.lc = mc, rc, lc
         self.steps_per_epoch = int(steps_per_epoch)
         self.max_steps = int(max_steps)
@@ -413,6 +443,7 @@ class Trainer:
             def step(state, data, key):
                 return self._step_impl(state, data, key)
 
+            step = apply_compiler_options(step, self.compiler_options)
             self._train_step = step
             return step
 
@@ -442,6 +473,7 @@ class Trainer:
                 check_vma=False,
             )(state, data, key)
 
+        step = apply_compiler_options(step, self.compiler_options)
         self._train_step = step
         return step
 
@@ -470,7 +502,7 @@ class Trainer:
                     length=inner_steps)
                 return state, jax.tree_util.tree_map(lambda a: a[-1], lds)
 
-            return run
+            return apply_compiler_options(run, self.compiler_options)
 
         mesh = self.mesh
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -495,7 +527,7 @@ class Trainer:
                 check_vma=False,
             )(state, data, key)
 
-        return run
+        return apply_compiler_options(run, self.compiler_options)
 
     def shard_data(self, data):
         """Place scene arrays on the mesh (sharded over rays) or the default

@@ -62,6 +62,42 @@ def test_single_device_converges(rng):
     assert int(state.step) == 41
 
 
+def test_compiler_options_step_matches_default(rng):
+    """--xla_opts routes DebugOptions through lower().compile(); a benign
+    option must produce the same numerics as the default jit path (and the
+    wrapper must not break donation/caching across calls)."""
+    from spnerf_tpu.config import parse_xla_opts
+
+    opts = parse_xla_opts("xla_embed_ir_in_executable=true")
+    assert opts == {"xla_embed_ir_in_executable": True}
+
+    mc, rc, lc = _tiny_configs()
+    data = _fake_data(rng, n=512)
+    results = []
+    for copts in (None, opts):
+        tr = Trainer(mc, rc, lc, lr=1e-3, steps_per_epoch=100,
+                     max_steps=1000, compiler_options=copts)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        d = {k: jnp.asarray(v) for k, v in data.items()}
+        step = tr.build_train_step(64)
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, ld = step(state, d, key)
+        results.append((jax.device_get(state.params), float(ld["loss"])))
+    (p0, l0), (p1, l1) = results
+    assert l0 == l1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), p0, p1)
+
+
+def test_parse_xla_opts_rejects_malformed():
+    from spnerf_tpu.config import parse_xla_opts
+
+    with pytest.raises(ValueError):
+        parse_xla_opts("no_equals_sign")
+    assert parse_xla_opts("") == {}
+
+
 def test_mesh_step_runs_and_updates(rng):
     mesh = data_mesh(8)
     mc, rc, lc = _tiny_configs(solar_correction=True)
