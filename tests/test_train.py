@@ -90,6 +90,31 @@ def test_compiler_options_step_matches_default(rng):
         lambda a, b: np.testing.assert_array_equal(a, b), p0, p1)
 
 
+def test_compiler_options_mesh_scan_matches_default(rng):
+    """--xla_opts with --data_axis K dispatches the MESH scan through the
+    lower/compile shim: a benign option must match the unwrapped mesh scan
+    bitwise (the shim wraps the outer jit around shard_map)."""
+    from spnerf_tpu.parallel import data_mesh
+
+    mesh = data_mesh(8)
+    mc, rc, lc = _tiny_configs()
+    data_np = _fake_data(rng, n=1024)
+    results = []
+    for copts in (None, {"xla_embed_ir_in_executable": True}):
+        tr = Trainer(mc, rc, lc, lr=1e-3, steps_per_epoch=100,
+                     max_steps=1000, mesh=mesh, compiler_options=copts)
+        state = tr.replicate_state(tr.init_state(jax.random.PRNGKey(0)))
+        data = tr.shard_data(data_np)
+        run = tr.build_train_scan(64, 3)
+        state, ld = run(state, data, jax.random.PRNGKey(1))
+        results.append((jax.device_get(state.params),
+                        float(jax.device_get(ld["loss"]))))
+    (p0, l0), (p1, l1) = results
+    assert l0 == l1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), p0, p1)
+
+
 def test_parse_xla_opts_rejects_malformed():
     from spnerf_tpu.config import parse_xla_opts
 
