@@ -856,13 +856,25 @@ class HashSPNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None,
-                 sigma_only=False, heads=None, anneal=None):
+                 sigma_only=False, heads=None, anneal=None, solar_tail=0):
+        """solar_tail: static int — the LAST `solar_tail` rows are
+        solar-correction points that only need sigma and sun_v (the solar
+        loss consumes nothing else, reference modules/rendering.py:171-177).
+        The hash encoding, shared trunk, sigma and sun head run batched over
+        ALL rows (ONE table gather per level instead of one per pass — each
+        gather fusion pays a ~2.6 ms table-operand layout conversion on the
+        v5e, so fusion count is the cost driver, not row count); the
+        rgb/sky/beta/sem heads are sliced to the leading view rows so their
+        matmuls never touch solar rows (the unpruned-head waste that refuted
+        SPNERF_BATCH_SC, ops/render.py)."""
         cfg = self.cfg
         dense = lambda feats: TorchDense(
             feats, kernel_init_name="torch", compute_dtype=self.compute_dtype
         )
         if heads is None:
             heads = ("rgb", "sun", "sky", "beta", "sem")
+        nv = xyz.shape[0] - solar_tail  # leading view rows (all heads)
+        view = (lambda v: v[:nv]) if solar_tail else (lambda v: v)
 
         enc = HashGridEncoding(
             n_levels=self.n_levels, n_features=self.n_features,
@@ -922,24 +934,25 @@ class HashSPNeRF(nn.Module):
             feats = d_feats(shared)
 
         if "rgb" in heads:
-            r = jax.nn.relu(d_rgb0(feats))
+            r = jax.nn.relu(d_rgb0(view(feats)))
             out["rgb"] = jax.nn.sigmoid(d_rgb1(r)) * 1.002 - 0.001
 
         if "sun" in heads:
+            # all rows: solar points need sun_v too (transparency term)
             s = jax.nn.relu(d_sun0(feats, sun_d))
             s = jax.nn.relu(d_sun1(s))
             out["sun_v"] = jax.nn.sigmoid(d_sun2(s))
 
         if "sky" in heads:
-            k = jax.nn.relu(d_sky0(sun_d))
+            k = jax.nn.relu(d_sky0(view(sun_d)))
             out["sky"] = jax.nn.sigmoid(d_sky1(k))
 
         if cfg.beta and "beta" in heads:
-            bb = jax.nn.relu(d_beta0(feats, t_emb))
+            bb = jax.nn.relu(d_beta0(view(feats), view(t_emb)))
             out["beta"] = jax.nn.softplus(d_beta1(bb))
 
         if cfg.sem and "sem" in heads:
-            g = jax.nn.relu(d_sem0(shared))
+            g = jax.nn.relu(d_sem0(view(shared)))
             out["sem_logits"] = d_sem1(g)
         return out
 

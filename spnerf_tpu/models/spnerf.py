@@ -192,14 +192,21 @@ class SPNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, sun_d, t_emb=None, sem_labels=None, sigma_only=False,
-                 heads=None):
+                 heads=None, solar_tail=0):
         """heads: optional tuple naming which output heads to evaluate
         ("rgb", "sun", "sky", "beta", "sem"); None evaluates all configured
         heads. sigma is always computed. Pruning heads skips their compute but
         leaves parameter naming untouched (all submodules are constructed
         unconditionally, in the original creation order) — the solar-correction
         pass only consumes sigma and sun_v, so its rgb/sky/sem head matmuls are
-        dead work (reference runs them anyway, models/spnerf.py:273-369)."""
+        dead work (reference runs them anyway, models/spnerf.py:273-369).
+
+        solar_tail: static int — the LAST `solar_tail` rows are
+        solar-correction points needing only sigma and sun_v. The trunk,
+        sigma and sun head run batched over all rows (one matmul stack over
+        the union of passes — larger MXU tiles); the rgb/sky/beta/sem heads
+        are sliced to the leading view rows, avoiding the dead solar-row head
+        work that refuted the unpruned SPNERF_BATCH_SC path (ops/render.py)."""
         cfg = self.cfg
         act = (lambda v: siren(v)) if cfg.siren else jax.nn.relu
         dense = lambda feats, init="torch": TorchDense(
@@ -207,6 +214,8 @@ class SPNeRF(nn.Module):
         )
         if heads is None:
             heads = ("rgb", "sun", "sky", "beta", "sem")
+        nv = xyz.shape[0] - solar_tail  # leading view rows (all heads)
+        view = (lambda v: v[:nv]) if solar_tail else (lambda v: v)
 
         if cfg.mapping:
             x_in = positional_mapping(xyz, cfg.mapping_sizes[0])
@@ -271,13 +280,14 @@ class SPNeRF(nn.Module):
         if "rgb" in heads:
             # albedo rgb head (no view-direction input in sp-nerf:
             # input_sizes[1]=0, reference models/spnerf.py:170,341-347)
-            r = act(d_rgb0(feats))
+            r = act(d_rgb0(view(feats)))
             rgb = jax.nn.sigmoid(d_rgb1(r))
             rgb_padding = 0.001
             out["rgb"] = rgb * (1 + 2 * rgb_padding) - rgb_padding
 
         if "sun" in heads:
             # sun visibility branch (3 hidden siren layers, reference :234-241)
+            # — all rows: solar points need sun_v too (transparency term)
             s = act(d_sun[0](feats, sun_d))
             for layer in d_sun[1:-1]:
                 s = act(layer(s))
@@ -285,15 +295,15 @@ class SPNeRF(nn.Module):
 
         if "sky" in heads:
             # ambient sky color from the sun direction alone (reference :244-249)
-            k = jax.nn.relu(d_sky0(sun_d))
+            k = jax.nn.relu(d_sky0(view(sun_d)))
             out["sky"] = jax.nn.sigmoid(d_sky1(k))
 
         if cfg.beta and "beta" in heads:
-            b = act(d_beta0(feats, t_emb))
+            b = act(d_beta0(view(feats), view(t_emb)))
             out["beta"] = jax.nn.softplus(d_beta1(b))
 
         if cfg.sem and "sem" in heads:
-            g = act(d_sem0(shared))
+            g = act(d_sem0(view(shared)))
             out["sem_logits"] = d_sem1(g)
 
         return out

@@ -37,6 +37,31 @@ def _batch_sc_enabled():
     # read at trace time (not import time) so tests can cover both paths
     return _os.environ.get("SPNERF_BATCH_SC") == "1"
 
+
+def _batch_solar_enabled(field_apply):
+    """SPNERF_BATCH_SOLAR=1: batch the solar-correction pass into the
+    preceding view-ray field evaluation WITH per-row head pruning (models'
+    `solar_tail` kwarg): encoding + trunk + sigma + sun head run over the
+    union of both passes' points, rgb/sky/beta/sem only over the view rows.
+    This targets what refuted SPNERF_BATCH_SC — the unpruned-head compute on
+    solar rows — while keeping its hash win (one table gather per level
+    instead of one per pass; each gather fusion pays a ~2.6 ms operand-layout
+    conversion on the v5e regardless of row count).
+
+    MEASURED REFUTED on both families (v5e, this round), default OFF:
+    hash T=2^19 integrated 155.8 vs 145.9 ms/step — cutting the gather
+    fusions 24 -> 16 should save ~20 ms of operand conversion, but merging
+    the guided and solar encodings serializes two INDEPENDENT per-level
+    backward chains (sort -> window dtab kernel -> cond) that XLA previously
+    overlapped, the same lesson as the batched cross-level dtab refutation
+    (models/hashgrid.py); flagship 43.2 vs 42.7 ms/step — the emitter-bound
+    matmul plateau gains nothing from a 3x-row stack. Numerics are
+    parity-exact (tests/test_batch_solar.py), so the path stays selectable
+    for toolchains whose scheduler handles the merged chain better."""
+    if not getattr(field_apply, "supports_solar_tail", False):
+        return False
+    return _os.environ.get("SPNERF_BATCH_SOLAR") == "1"
+
 from ..config import RenderConfig
 from .compositing import composite
 from .sampling import guided_samples, sample_pdf, stratified_z_vals
@@ -113,6 +138,52 @@ def _eval_field_cat(field_apply, xyz_sets, sun_d, t_emb, sems, heads=None):
         result.append({k: v[:, ofs:ofs + s] for k, v in out.items()})
         ofs += s
     return result
+
+
+def _eval_field_tail(field_apply, xyz_view, xyz_sc, sun_d, t_emb, sems):
+    """ONE field evaluation over a view point set (R, Sv, 3) and a solar
+    point set (R, Ss, 3), with the solar rows head-pruned in-model
+    (`solar_tail`). Rows are SET-major (all view rows, then all solar rows)
+    so the solar set is a contiguous tail the model can slice statically.
+    Returns (view_field, sc_field) with (R, S, ...) arrays; sc_field carries
+    only sigma and sun_v (all the solar loss terms consume,
+    /root/reference/modules/rendering.py:171-177)."""
+    n_rays, sv = xyz_view.shape[:2]
+    ss = xyz_sc.shape[1]
+
+    def per_row(x, s, width=None):
+        if width is None:
+            return jnp.broadcast_to(x[:, None], (n_rays, s)).reshape(-1)
+        return jnp.broadcast_to(
+            x[:, None, :], (n_rays, s, width)).reshape(-1, width)
+
+    xyz_flat = jnp.concatenate(
+        [xyz_view.reshape(-1, 3), xyz_sc.reshape(-1, 3)], axis=0)
+    sun_flat = jnp.concatenate(
+        [per_row(sun_d, sv, 3), per_row(sun_d, ss, 3)], axis=0)
+    t_flat = (
+        None
+        if t_emb is None
+        else jnp.concatenate([per_row(t_emb, sv, t_emb.shape[-1]),
+                              per_row(t_emb, ss, t_emb.shape[-1])], axis=0)
+    )
+    sem_flat = (
+        None
+        if sems is None
+        else jnp.concatenate([per_row(sems, sv), per_row(sems, ss)], axis=0)
+    )
+    out = field_apply(xyz_flat, sun_flat, t_flat, sem_flat,
+                      solar_tail=n_rays * ss)
+    n_view = n_rays * sv
+    view_field = {
+        k: v[:n_view].reshape((n_rays, sv) + v.shape[1:])
+        for k, v in out.items()
+    }
+    sc_field = {
+        k: out[k][n_view:].reshape((n_rays, ss) + out[k].shape[1:])
+        for k in ("sigma", "sun_v")
+    }
+    return view_field, sc_field
 
 
 def _sort_perm(z_a, z_b):
@@ -274,13 +345,20 @@ def render_rays(
     # sorted merge) depends only on the coarse composite, not on the second
     # pass's field outputs, so the guided-new points and the solar points
     # batch together; without guided sampling the coarse and solar points do.
+    batch_solar = (rc.solar_correction and not _NO_PRUNE
+                   and _batch_solar_enabled(field_apply))
     batch_sc = (rc.solar_correction and _batch_sc_enabled()
-                and not _NO_PRUNE)
+                and not _NO_PRUNE and not batch_solar)
     sc_field = None  # per-sample {sigma, sun_v} of the solar pass, when batched
 
-    if rc.guidedsample or not batch_sc:
+    if rc.guidedsample or not (batch_sc or batch_solar):
         field1 = _eval_field(field_apply, rays_o, rays_d, z_vals, sun_d, t_emb,
                              sems)
+    elif batch_solar:
+        xyz1 = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[:, :, None]
+        xyz_sc = rays_o[:, None, :] + sun_d[:, None, :] * z_vals[:, :, None]
+        field1, sc_field = _eval_field_tail(field_apply, xyz1, xyz_sc, sun_d,
+                                            t_emb, sems)
     else:
         xyz1 = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[:, :, None]
         xyz_sc = rays_o[:, None, :] + sun_d[:, None, :] * z_vals[:, :, None]
@@ -312,6 +390,25 @@ def render_rays(
                 field_apply, rays_o, rays_d, z_vals, sun_d, t_emb, sems,
                 noise_std, get("noise1"),
             )
+        elif batch_solar:
+            # one field call over the new guided samples (all heads) AND the
+            # solar points at the merged z set, with the solar rows pruned to
+            # sigma+sun in-model (`solar_tail`): for the hash family this is
+            # ONE table gather per level instead of two (the per-fusion
+            # operand-layout conversion is the dominant hash-step cost), and
+            # for the siren family one trunk matmul stack at 3x rows
+            perm, z_sorted, z_vals_unsort = _sort_perm(result["z_vals"],
+                                                       z_vals_2)
+            xyz2 = (rays_o[:, None, :]
+                    + rays_d[:, None, :] * z_vals_2[:, :, None])
+            xyz_sc = (rays_o[:, None, :]
+                      + sun_d[:, None, :] * z_sorted[:, :, None])
+            field2, sc_field = _eval_field_tail(field_apply, xyz2, xyz_sc,
+                                                sun_d, t_emb, sems)
+            field_all = _apply_perm(field1, field2, perm)
+            z_vals = z_sorted
+            result = composite(field_all, z_vals, noise_std=noise_std,
+                               key=get("noise1"))
         elif batch_sc:
             # evaluate the field once over BOTH the new guided samples
             # (view-ray points, all heads) and the solar points at the merged
@@ -373,16 +470,35 @@ def render_rays(
         )
         z_extra = jax.lax.stop_gradient(z_extra)
         z_fine = jnp.sort(jnp.concatenate([z_vals, z_extra], axis=-1), axis=-1)
-        fine = _inference(
-            fine_field_apply, rays_o, rays_d, z_fine, sun_d, t_emb, sems,
-            noise_std, get("noise_fine"),
-        )
-        if rc.solar_correction:
-            sc = _inference(
-                fine_field_apply, rays_o, sun_d, z_fine, sun_d, t_emb, sems,
-                noise_std, get("sc_noise_fine"),
-                heads=None if _NO_PRUNE else ("sun",),
+        batch_solar_fine = (rc.solar_correction and not _NO_PRUNE
+                            and _batch_solar_enabled(fine_field_apply))
+        if batch_solar_fine:
+            # fine view points and fine solar points are both functions of
+            # z_fine, so they batch into one field call (solar rows pruned
+            # to sigma+sun in-model — see _batch_solar_enabled)
+            xyz_f = (rays_o[:, None, :]
+                     + rays_d[:, None, :] * z_fine[:, :, None])
+            xyz_fsc = (rays_o[:, None, :]
+                       + sun_d[:, None, :] * z_fine[:, :, None])
+            fine_field, sc_f = _eval_field_tail(fine_field_apply, xyz_f,
+                                                xyz_fsc, sun_d, t_emb, sems)
+            fine = composite(fine_field, z_fine, noise_std=noise_std,
+                             key=get("noise_fine"))
+            sc = composite(sc_f, z_fine, noise_std=noise_std,
+                           key=get("sc_noise_fine"))
+        else:
+            fine = _inference(
+                fine_field_apply, rays_o, rays_d, z_fine, sun_d, t_emb, sems,
+                noise_std, get("noise_fine"),
             )
+            sc = None
+            if rc.solar_correction:
+                sc = _inference(
+                    fine_field_apply, rays_o, sun_d, z_fine, sun_d, t_emb,
+                    sems, noise_std, get("sc_noise_fine"),
+                    heads=None if _NO_PRUNE else ("sun",),
+                )
+        if rc.solar_correction:
             fine["weights_sc"] = sc["weights"]
             fine["transparency_sc"] = sc["transparency"]
             fine["sun_sc"] = sc["sun"]

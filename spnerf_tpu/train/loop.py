@@ -278,13 +278,16 @@ class Trainer:
     def _field_apply(self, params, which="coarse", anneal=None):
         model = self.model if which == "coarse" else self.fine_model
 
-        def apply(xyz, sun_d, t_emb, sem_labels, heads=None):
-            kw = {"heads": heads}
+        def apply(xyz, sun_d, t_emb, sem_labels, heads=None, solar_tail=0):
+            kw = {"heads": heads, "solar_tail": solar_tail}
             if anneal is not None:  # hash models only (coarse-to-fine ramp)
                 kw["anneal"] = anneal
             return model.apply({"params": params[which]}, xyz, sun_d, t_emb,
                                sem_labels, **kw)
 
+        # the renderer may batch the solar pass into the view-ray pass with
+        # per-row head pruning (ops/render._batch_solar_enabled)
+        apply.supports_solar_tail = True
         return apply
 
     def _render(self, params, rays, ts, sems, key, train, valid_depth=None,

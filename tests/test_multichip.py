@@ -139,6 +139,30 @@ def test_hash_train_under_mesh(mesh8, rng, impl):
                                rtol=1e-6)
 
 
+def test_batch_solar_under_mesh(mesh8, rng, monkeypatch):
+    """The batched solar pass (SPNERF_BATCH_SOLAR, auto-on for accelerators)
+    must compose with shard_map + pmean: the mesh scan's loss matches the
+    separate-pass mesh scan bitwise-closely (single-device parity is pinned
+    in test_batch_solar.py; this pins the mesh composition the real TPU CLI
+    dispatches)."""
+    mc, rc, lc = _tiny_configs(guidedsample=True, solar_correction=True)
+    lc = LossConfig(sc_lambda=0.05)
+    data_host = _fake_data(rng, n=2048)
+    key = jax.random.PRNGKey(7)
+    losses = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPNERF_BATCH_SOLAR", flag)
+        tr = Trainer(mc, rc, lc, lr=1e-3, steps_per_epoch=10, max_steps=100,
+                     mesh=mesh8, donate=False)
+        s = tr.replicate_state(tr.init_state(jax.random.PRNGKey(0)))
+        run = tr.build_train_scan(64, 3)
+        s, ld = run(s, tr.shard_data(data_host), key)
+        jax.block_until_ready(ld["loss"])
+        losses[flag] = float(ld["loss"])
+    assert np.isfinite(losses["1"])
+    np.testing.assert_allclose(losses["1"], losses["0"], rtol=1e-6)
+
+
 def test_cli_data_axis_8(dfc269_root, tmp_path):
     """A CLI-level run with --data_axis 8: mesh construction, sharded scene
     upload, scan-window dispatch, sharded validation render, checkpointing —
