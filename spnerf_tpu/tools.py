@@ -17,6 +17,14 @@ here):
                       (visualization/visualize_depth_in.py)
   viz-dsm             DSM GeoTIFF -> viridis PNG
                       (visualization/visualize_depth_out.py:8-41)
+  render              render every validation view (+ DSM/depth/sun/albedo/
+                      semantic outputs) from a saved checkpoint. EXCEEDS the
+                      reference: its offline eval never runs the network —
+                      it can only score images saved during training
+                      validation (/root/reference/eval.py:317-334), so a
+                      checkpoint whose epoch was not validated with
+                      save_images is unevaluable there. Here any checkpoint
+                      renders offline, and `python eval.py` can then score it.
 """
 
 import argparse
@@ -77,6 +85,62 @@ def _cmd_viz_dsm(args):
     print(f"wrote {args.output}")
 
 
+def _cmd_render(args):
+    from argparse import Namespace
+
+    from .utils.platform import apply_platform_env, enable_compilation_cache
+
+    apply_platform_env()
+    enable_compilation_cache()
+    import jax
+
+    opts_path = os.path.join(args.run_dir, "logs", "opts.json")
+    if not os.path.exists(opts_path):
+        sys.exit(f"no {opts_path} — --run_dir must be a training output dir "
+                 "(<project>/output/<exp_name>)")
+    with open(opts_path) as f:
+        rargs = Namespace(**json.load(f))
+    if args.dataset_dir:
+        # the dataset moved since training: re-derive the per-kind dirs the
+        # same way finalize_args does (config.py)
+        rargs.dataset_dir = args.dataset_dir
+        rargs.depth_dir = os.path.join(args.dataset_dir, "Depth")
+        rargs.json_dir = os.path.join(args.dataset_dir, "JSON")
+        rargs.img_dir = os.path.join(args.dataset_dir, "RGB", rargs.aoi_id)
+        rargs.sem_dir = os.path.join(args.dataset_dir, "Semantic")
+        rargs.gt_dir = os.path.join(args.dataset_dir, "Truth")
+    if args.chunk:
+        rargs.chunk = args.chunk
+    if args.out_dir:
+        rargs.logs_dir = args.out_dir
+    os.makedirs(rargs.logs_dir, exist_ok=True)
+
+    from .cli.train import build_trainer_and_scene, run_validation
+    from .train.checkpoints import CheckpointManager
+    from .utils.logging import MetricLogger
+
+    trainer, scene, steps_per_epoch = build_trainer_and_scene(rargs)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpts"))
+    step = args.step if args.step is not None else ckpt.latest_step()
+    if step is None:
+        sys.exit(f"no checkpoints under {args.run_dir}/ckpts")
+    restored = ckpt.restore(state, step=step)
+    if restored is None:
+        sys.exit(f"checkpoint step {step} not found; "
+                 f"available: {ckpt.all_steps()}")
+    state = restored
+    epoch = (args.epoch_number if args.epoch_number is not None
+             else int(state.step) // max(steps_per_epoch, 1))
+    logger = MetricLogger(rargs.logs_dir, tensorboard=False)
+    mean = run_validation(trainer, scene, state, rargs, epoch, logger,
+                          save_images=True)
+    logger.close()
+    ckpt.close()
+    print(json.dumps({"step": int(state.step), "epoch_number": epoch,
+                      **{k: round(v, 4) for k, v in mean.items()}}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="python -m spnerf_tpu.tools",
@@ -126,6 +190,29 @@ def build_parser():
     vo.add_argument("dsm", type=str)
     vo.add_argument("output", type=str)
     vo.set_defaults(fn=_cmd_viz_dsm)
+
+    rd = sub.add_parser(
+        "render",
+        help="render validation views + DSM from a saved checkpoint "
+             "(offline; the reference can only score images saved during "
+             "training)")
+    rd.add_argument("--run_dir", type=str, required=True,
+                    help="training output dir: <project>/output/<exp_name>")
+    rd.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: newest)")
+    rd.add_argument("--epoch_number", type=int, default=None,
+                    help="epoch label in output filenames (default: "
+                         "step // steps_per_epoch, the label training would "
+                         "have used)")
+    rd.add_argument("--chunk", type=int, default=None,
+                    help="override the recorded render chunk size")
+    rd.add_argument("--dataset_dir", type=str, default=None,
+                    help="override the recorded dataset location "
+                         "(relocated runs)")
+    rd.add_argument("--out_dir", type=str, default=None,
+                    help="write logs/{val,train}/... outputs here instead "
+                         "of the run's own logs dir")
+    rd.set_defaults(fn=_cmd_render)
     return p
 
 

@@ -95,3 +95,41 @@ def test_viz_depth_in_cli(tmp_path, dfc269_root):
           "--out_prefix", prefix])
     for suffix in ("raw", "overlay", "side_by_side"):
         assert os.path.getsize(f"{prefix}_{suffix}.png") > 1000
+
+
+def test_render_from_checkpoint(tmp_path, dfc269_root, capsys):
+    """`tools render` restores a checkpoint and writes the full validation
+    image contract offline — beyond the reference, whose eval.py:317-334 can
+    only score images saved during training validation. A fresh --out_dir
+    gets logs/{train,val}/{rgb,dsm,depth,...} and the printed JSON carries
+    finite metrics at the restored step."""
+    from spnerf_tpu.cli.train import main as train_main
+
+    proj = tmp_path / "proj"
+    (proj / "dataset").mkdir(parents=True)
+    os.symlink(dfc269_root, proj / "dataset" / "DFC2019_269")
+    train_main([
+        "--aoi_id", "JAX_269", "--model", "sp-nerf", "--exp_name", "rdr",
+        "--no_timestamp_exp_name", "--project_dir", str(proj),
+        "--img_downscale", "8", "--batch_size", "64", "--n_samples", "4",
+        "--fc_units", "32", "--fc_layers", "2", "--chunk", "2048",
+        "--log_every", "10", "--check_val_every_n_epoch", "100",
+        "--save_every_n_epochs", "100", "--data_axis", "1",
+        "--max_train_steps", "20", "--sem", "--num_sem_classes", "3",
+        "--dense_ss",
+    ])
+    run_dir = proj / "output" / "rdr"
+    out_dir = tmp_path / "rendered"
+    capsys.readouterr()
+    main(["render", "--run_dir", str(run_dir), "--out_dir", str(out_dir),
+          "--chunk", "4096"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert metrics["step"] == 20
+    assert np.isfinite(metrics["psnr"]) and np.isfinite(metrics["ssim"])
+    # full output contract in the redirected dir (val view = held-out 023)
+    epoch = metrics["epoch_number"]
+    for kind in ("rgb", "gt_rgb", "depth", "dsm", "sun", "albedo", "sky",
+                 "semantic"):
+        p = out_dir / "val" / kind / f"JAX_269_023_RGB_epoch{epoch}.tif"
+        assert p.exists(), p
