@@ -178,17 +178,23 @@ def eval_aoi(args):
         print(f"{src_id}: PSNR {psnr_v:.3f} / SSIM {ssim_v:.3f} / "
               f"LPIPS {lpips_v:.3f} / MAE {mae_v:.3f}{sem_str}")
 
-    print(f"\nMean PSNR: {np.nanmean(stats['psnr']) if stats['psnr'] else 0:.3f}")
-    print(f"Mean SSIM: {np.nanmean(stats['ssim']) if stats['ssim'] else 0:.3f}")
-    print(f"Mean MAE: {np.nanmean(stats['mae']) if stats['mae'] else np.nan:.3f}")
-    print(f"Mean LPIPS: {np.nanmean(stats['lpips']) if stats['lpips'] else np.nan:.3f}")
+    def _nmean(v):
+        # all-NaN columns (e.g. lpips under --skip_lpips) stay NaN without
+        # tripping numpy's "Mean of empty slice" warning
+        a = np.asarray(v, dtype=float)
+        return float(np.nanmean(a)) if a.size and np.isfinite(a).any() \
+            else float("nan")
+
+    print(f"\nMean PSNR: {_nmean(stats['psnr']):.3f}")
+    print(f"Mean SSIM: {_nmean(stats['ssim']):.3f}")
+    print(f"Mean MAE: {_nmean(stats['mae']):.3f}")
+    print(f"Mean LPIPS: {_nmean(stats['lpips']):.3f}")
     if stats["miou"]:
-        print(f"Mean mIoU: {np.nanmean(stats['miou']):.3f}")
-        print(f"Mean OA: {np.nanmean(stats['oa']):.3f}")
+        print(f"Mean mIoU: {_nmean(stats['miou']):.3f}")
+        print(f"Mean OA: {_nmean(stats['oa']):.3f}")
     print()
     print("Eval finished!")
-    return {k: (float(np.nanmean(v)) if v else float("nan"))
-            for k, v in stats.items()}
+    return {k: _nmean(v) for k, v in stats.items()}
 
 
 def build_test_parser():
