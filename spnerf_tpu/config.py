@@ -242,7 +242,12 @@ def build_train_parser():
     p.add_argument("--hash_anneal_steps", type=int, default=0,
                    help="coarse-to-fine: ramp the fine hash levels in over "
                         "the first N steps (0 = off; the 2 coarsest levels "
-                        "are always active)")
+                        "are always active). Measured NEGATIVE with dense "
+                        "depth supervision at short schedules (anneal 1000 "
+                        "on the 3k tuned-depth run: MAE 1.54/1.66 vs "
+                        "1.08/1.12 m control) — geometry converges early "
+                        "under depth guidance and the ramp only delays it; "
+                        "intended for depth-free runs")
     p.add_argument("--hash_table_wd", type=float, default=0.0,
                    help="AdamW-style decoupled weight decay on the hash "
                         "TABLE rows only (0 = off; trunk/heads always plain "
