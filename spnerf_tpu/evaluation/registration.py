@@ -20,10 +20,38 @@ Algorithm (reference semantics):
 
 import ctypes
 import os
+import shutil
+import subprocess
 
 import numpy as np
 
 _NATIVE = None
+
+
+def _try_build_native(lib_path):
+    """Best-effort on-first-use build of libdsmr.so (one g++ command, ~1 s).
+
+    Builds to a pid-suffixed temp file then os.replace()s it in so concurrent
+    processes never dlopen a partially written library. Returns True if the
+    library exists afterwards."""
+    src = os.path.join(os.path.dirname(lib_path), "dsmr.cpp")
+    if not os.path.exists(src) or shutil.which("g++") is None:
+        return False
+    tmp = f"{lib_path}.tmp{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", tmp, src],
+            check=True, capture_output=True, timeout=300)
+        os.replace(tmp, lib_path)
+    except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        # another process may have won the race and produced the lib
+        return os.path.exists(lib_path)
+    return True
 
 
 def _load_native():
@@ -32,7 +60,7 @@ def _load_native():
         return _NATIVE
     lib_path = os.path.join(os.path.dirname(__file__), "..", "native", "libdsmr.so")
     lib_path = os.path.abspath(lib_path)
-    if not os.path.exists(lib_path):
+    if not os.path.exists(lib_path) and not _try_build_native(lib_path):
         _NATIVE = False
         return False
     lib = ctypes.CDLL(lib_path)

@@ -125,11 +125,10 @@ def test_downsample2x_nan_aware():
 
 @pytest.mark.parametrize("use_native", [False, True])
 def test_registration_recovers_shift(rng, use_native):
-    if use_native and not os.path.exists(
-        os.path.join(os.path.dirname(registration.__file__), "..", "native",
-                     "libdsmr.so")
-    ):
-        pytest.skip("native lib not built")
+    if use_native and not registration._load_native():
+        # _load_native() attempts the one-command g++ build on first use, so
+        # this only skips where no compiler exists at all
+        pytest.skip("native lib unavailable (no g++ in PATH?)")
     base = rng.normal(size=(140, 150)) * 4 + 20
     # smooth it so NCC has structure
     base = base + 10 * np.sin(np.arange(150) / 9)[None, :]
