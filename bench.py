@@ -29,24 +29,18 @@ def main():
 
     enable_compilation_cache()
 
-    from __graft_entry__ import _fake_batch, _flagship_configs
-    from spnerf_tpu.train.loop import Trainer, scene_to_device_arrays
+    from spnerf_tpu.utils.synth import bench_setup
 
-    batch_size = 1024
-    mc, rc, lc = _flagship_configs()  # full 8x512 flagship field
-    tr = Trainer(mc, rc, lc, lr=5e-4, steps_per_epoch=1000, max_steps=30000)
-    state = tr.init_state(jax.random.PRNGKey(0))
-
-    # synthetic scene resident on device (data content does not affect timing)
-    data = {k: jax.numpy.asarray(v)
-            for k, v in _fake_batch(np.random.default_rng(0), 65536).items()}
+    # the exact program (full 8x512 flagship field, synthetic device-resident
+    # scene) is defined once in utils/synth.bench_setup so `tools warm-cache`
+    # pre-compiles the same HLO this script times.
     # one dispatch drives a whole 100-step window via lax.scan: per-step host
     # dispatch latency (large through tunneled runtimes) is fully amortized,
     # and a host fetch of the loss is an unambiguous sync point. Window sweep
     # on the v5e (round 3): 25 -> 19,920 rays/s, 50 -> 20,246, 100 -> 20,394
     # (batch 2048 is worse at every window; matches the round-1 batch sweep)
-    n_inner = 100
-    run = tr.build_train_scan(batch_size, n_inner)
+    batch_size, n_inner = 1024, 100
+    tr, state, data, run = bench_setup(batch_size, n_inner)
     key = jax.random.PRNGKey(1)
 
     state, ld = run(state, data, key)

@@ -141,6 +141,76 @@ def _cmd_render(args):
                       **{k: round(v, 4) for k, v in mean.items()}}))
 
 
+def _cmd_warm_cache(args):
+    """Pre-compile the steady-state training programs into the persistent XLA
+    compilation cache (~/.cache/spnerf_jax).
+
+    A fresh container starts with an empty cache; the first `bench.py` then
+    spends ~7 min in remote compiles. Running this once early makes the later
+    bench (and any same-shaped run) start warm: it compiles (1) the exact
+    flagship scan-window program bench.py times, (2) a hash-encoding window
+    (L8F4, T=2^19 — the hash defaults), (3) an occgrid flagship window. Real
+    dataset runs compile their own scene-shaped programs on first window;
+    this covers the synthetic-scene surface the driver exercises."""
+    import time
+
+    from .utils.platform import apply_platform_env, enable_compilation_cache
+
+    apply_platform_env()
+    enable_compilation_cache()
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from .train.loop import Trainer
+    from .utils.synth import bench_setup, fake_batch, flagship_configs
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        print(f"warmed {name} in {time.perf_counter() - t0:.1f} s",
+              flush=True)
+
+    def flagship():
+        tr, state, data, run = bench_setup()
+        state, ld = run(state, data, jax.random.PRNGKey(1))
+        float(ld["loss"])  # host fetch = unambiguous sync
+
+    timed("flagship scan window (bench program)", flagship)
+
+    if not args.skip_hash:
+        def hash_window():
+            mc, rc, lc = flagship_configs()
+            mc = dataclasses.replace(mc, encoding="hash")
+            tr = Trainer(mc, rc, lc, lr=1e-2, steps_per_epoch=1000,
+                         max_steps=30000)
+            state = tr.init_state(jax.random.PRNGKey(0))
+            data = {k: jax.numpy.asarray(v) for k, v in
+                    fake_batch(np.random.default_rng(0), 65536).items()}
+            # window bounded by the tunneled runtime's sparse-op budget
+            run = tr.build_train_scan(1024, 25)
+            state, ld = run(state, data, jax.random.PRNGKey(1))
+            float(ld["loss"])
+
+        timed("hash scan window", hash_window)
+
+    if not args.skip_occgrid:
+        def occ_window():
+            mc, rc, lc = flagship_configs(n_samples=32)
+            rc = dataclasses.replace(rc, occ_grid=True)
+            tr = Trainer(mc, rc, lc, lr=5e-4, steps_per_epoch=1000,
+                         max_steps=30000)
+            state = tr.init_state(jax.random.PRNGKey(0))
+            data = {k: jax.numpy.asarray(v) for k, v in
+                    fake_batch(np.random.default_rng(0), 65536).items()}
+            run = tr.build_train_scan(1024, 100)
+            state, ld = run(state, data, jax.random.PRNGKey(1))
+            float(ld["loss"])
+
+        timed("occgrid scan window", occ_window)
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="python -m spnerf_tpu.tools",
@@ -213,6 +283,17 @@ def build_parser():
                     help="write logs/{val,train}/... outputs here instead "
                          "of the run's own logs dir")
     rd.set_defaults(fn=_cmd_render)
+
+    wc = sub.add_parser(
+        "warm-cache",
+        help="pre-compile the steady-state training programs into the "
+             "persistent XLA compilation cache (fresh containers start "
+             "cold; this turns the first bench.py from ~7 min into <1 min)")
+    wc.add_argument("--skip-hash", action="store_true",
+                    help="skip the hash-encoding window program")
+    wc.add_argument("--skip-occgrid", action="store_true",
+                    help="skip the occgrid window program")
+    wc.set_defaults(fn=_cmd_warm_cache)
     return p
 
 
