@@ -485,6 +485,17 @@ def main(argv=None):
         ckpt.save(args.max_train_steps, state,
                   metrics={"val_psnr": mean.get("psnr", float("nan"))})
     logger.close()
+    # surface best-by-val_psnr vs latest (reference ModelCheckpoint prints the
+    # best ckpt path at the end, /root/reference/main.py:315-320)
+    best = ckpt.best_step()
+    latest = ckpt.latest_step()
+    if latest is not None:
+        print(f"latest checkpoint: step {latest} ({ckpt.step_path(latest)})")
+    if best is not None:
+        print(f"best checkpoint (val_psnr): step {best} "
+              f"({ckpt.step_path(best)}) — render it offline with "
+              f"`python -m spnerf_tpu.tools render --run_dir "
+              f"{os.path.dirname(args.ckpts_dir)} --step best`")
     ckpt.close()
     print("training complete")
     return state

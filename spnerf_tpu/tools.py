@@ -122,7 +122,19 @@ def _cmd_render(args):
     trainer, scene, steps_per_epoch = build_trainer_and_scene(rargs)
     state = trainer.init_state(jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(args.run_dir, "ckpts"))
-    step = args.step if args.step is not None else ckpt.latest_step()
+    if args.step is None or args.step == "latest":
+        step = ckpt.latest_step()
+    elif args.step == "best":
+        step = ckpt.best_step()
+        if step is None:
+            sys.exit("no checkpoint carries a val_psnr metric — "
+                     "use --step latest or a numeric step")
+    else:
+        try:
+            step = int(args.step)
+        except ValueError:
+            sys.exit(f"--step must be an integer, 'best' or 'latest' "
+                     f"(got {args.step!r})")
     if step is None:
         sys.exit(f"no checkpoints under {args.run_dir}/ckpts")
     restored = ckpt.restore(state, step=step)
@@ -268,8 +280,9 @@ def build_parser():
              "training)")
     rd.add_argument("--run_dir", type=str, required=True,
                     help="training output dir: <project>/output/<exp_name>")
-    rd.add_argument("--step", type=int, default=None,
-                    help="checkpoint step to restore (default: newest)")
+    rd.add_argument("--step", type=str, default=None,
+                    help="checkpoint step to restore: a step number, 'best' "
+                         "(highest recorded val_psnr) or 'latest' (default)")
     rd.add_argument("--epoch_number", type=int, default=None,
                     help="epoch label in output filenames (default: "
                          "step // steps_per_epoch, the label training would "

@@ -65,6 +65,15 @@ class CheckpointManager:
     def latest_step(self):
         return self._mgr.latest_step()
 
+    def best_step(self):
+        """Step with the highest recorded val_psnr (reference ModelCheckpoint
+        tracks/prints the best ckpt, /root/reference/main.py:315-320).
+        None when no checkpoint carries metrics."""
+        return self._mgr.best_step()
+
+    def step_path(self, step):
+        return os.path.join(self.dir, str(int(step)))
+
     def all_steps(self):
         return self._mgr.all_steps()
 

@@ -121,8 +121,10 @@ def test_render_from_checkpoint(tmp_path, dfc269_root, capsys):
     run_dir = proj / "output" / "rdr"
     out_dir = tmp_path / "rendered"
     capsys.readouterr()
+    # --step best resolves through the orbax val_psnr ranking (here the only
+    # saved step, 20); also exercises the string step parser
     main(["render", "--run_dir", str(run_dir), "--out_dir", str(out_dir),
-          "--chunk", "4096"])
+          "--chunk", "4096", "--step", "best"])
     line = capsys.readouterr().out.strip().splitlines()[-1]
     metrics = json.loads(line)
     assert metrics["step"] == 20

@@ -153,11 +153,14 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
     mgr = CheckpointManager(str(tmp_path / "ckpts"))
     mgr.save(3, state, metrics={"val_psnr": 21.5})
+    mgr.save(7, state, metrics={"val_psnr": 19.0})  # later but worse
     mgr.close()
 
     mgr2 = CheckpointManager(str(tmp_path / "ckpts"))
+    assert mgr2.latest_step() == 7
+    assert mgr2.best_step() == 3  # ranked by val_psnr, not recency
     fresh = tr.init_state(jax.random.PRNGKey(42))
-    restored = mgr2.restore(fresh)
+    restored = mgr2.restore(fresh, step=mgr2.best_step())
     assert restored is not None
     assert int(restored.step) == 3
     a = jax.tree_util.tree_leaves(jax.device_get(state.params))
