@@ -75,6 +75,7 @@ def _assert_tree_close(a, b, rtol=1e-6, atol=1e-6):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("guided", [True, False])
 def test_siren_batch_solar_matches_separate(monkeypatch, guided):
     cfg = ModelConfig(mapping=True, sem=True, num_sem_classes=3, fc_units=16,
@@ -92,6 +93,7 @@ def test_siren_batch_solar_matches_separate(monkeypatch, guided):
     _assert_tree_close(got[2], ref[2])
 
 
+@pytest.mark.slow
 def test_hash_batch_solar_matches_separate(monkeypatch):
     cfg = ModelConfig(sem=True, num_sem_classes=3, encoding="hash")
     rc = RenderConfig(n_samples=6, guidedsample=True, solar_correction=True,
@@ -107,6 +109,7 @@ def test_hash_batch_solar_matches_separate(monkeypatch):
     _assert_tree_close(got[2], ref[2])
 
 
+@pytest.mark.slow
 def test_fine_pass_batch_solar_matches_separate(monkeypatch):
     """n_importance configs: the fine pass and its solar pass batch too."""
     cfg = ModelConfig(mapping=True, fc_units=16, fc_layers=2, skips=(1,))

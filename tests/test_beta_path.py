@@ -28,6 +28,7 @@ def _data(rng, n=512):
     }
 
 
+@pytest.mark.slow
 def test_beta_training_and_warmup(rng):
     mc = ModelConfig(mapping=True, beta=True, fc_units=32, fc_layers=2,
                      skips=(), t_embedding_dims=4)

@@ -120,6 +120,7 @@ def synth_depth_dataset(tmp_path_factory, dfc269_root):
     return str(root)
 
 
+@pytest.mark.slow
 def test_scene_with_synthesized_depth(synth_depth_dataset):
     root = synth_depth_dataset
     scene = load_scene(
@@ -152,6 +153,7 @@ def test_scene_with_synthesized_depth(synth_depth_dataset):
     assert np.all(scene.sems[scene.valid_sem == 0] == -100)
 
 
+@pytest.mark.slow
 def test_dense_vs_sparse_semantics(synth_depth_dataset):
     root = synth_depth_dataset
     kw = dict(

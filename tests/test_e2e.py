@@ -27,6 +27,7 @@ def bundled_scene(dfc269_root):
     )
 
 
+@pytest.mark.slow
 def test_smoke_train_improves_psnr_and_mae(bundled_scene, tmp_path):
     scene = bundled_scene
     mc = ModelConfig(mapping=True, sem=True, num_sem_classes=3, fc_units=64,

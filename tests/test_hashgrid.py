@@ -65,6 +65,7 @@ def test_hash_field_outputs(rng):
     assert jnp.all(out["sigma"] >= 0)
 
 
+@pytest.mark.slow
 def test_hash_field_trains_in_renderer(rng):
     """End-to-end: the hash field drops into the Trainer and the loss falls."""
     from spnerf_tpu.config import LossConfig, RenderConfig
@@ -140,6 +141,7 @@ def test_restructured_vjp_hash_encode_matches_xla(rng, impl):
                                rtol=1e-4, atol=1e-4 * np.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_matmul_vjp_hash_encode_matches_xla(rng, monkeypatch):
     """matmul_vjp: the backward scatter-add re-expressed as a factorized
     one-hot matmul. In f32 operand mode it must match the plain-autodiff

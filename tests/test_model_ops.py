@@ -262,6 +262,7 @@ def _make_rays(n, key=0):
     return jnp.concatenate([o, d, near, far, sun], axis=-1).astype(jnp.float32)
 
 
+@pytest.mark.slow
 def test_render_rays_full_pipeline_shapes_and_grads():
     cfg = ModelConfig(mapping=True, sem=True, num_sem_classes=3, fc_units=32,
                       fc_layers=2, skips=(1,))

@@ -90,6 +90,7 @@ def test_mesh_eval_render_matches_single_device(mesh8, rng, monkeypatch):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["xla", "matmul_vjp"])
 def test_hash_train_under_mesh(mesh8, rng, impl):
     """Hash-encoding train step (gather forward, scatter-add backward) under
@@ -163,6 +164,7 @@ def test_batch_solar_under_mesh(mesh8, rng, monkeypatch):
     np.testing.assert_allclose(losses["1"], losses["0"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_data_axis_8(dfc269_root, tmp_path):
     """A CLI-level run with --data_axis 8: mesh construction, sharded scene
     upload, scan-window dispatch, sharded validation render, checkpointing —

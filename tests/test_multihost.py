@@ -13,6 +13,7 @@ running `Trainer.build_train_scan` — the program every training window
 dispatches — on process-identical inputs.
 """
 
+import pytest
 import os
 import re
 import socket
@@ -31,6 +32,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process():
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "mh_worker.py")

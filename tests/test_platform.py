@@ -7,6 +7,7 @@ constants in models/hashgrid.py silently initializing the backends during
 `import spnerf_tpu.models` — which made every "CPU" CLI run execute on the
 TPU. These tests pin the fix."""
 
+import pytest
 import subprocess
 import sys
 
@@ -32,6 +33,7 @@ def test_importing_the_package_does_not_initialize_backends():
     assert "clean" in r.stdout
 
 
+@pytest.mark.slow
 def test_entry_points_pin_platform_before_package_imports():
     """main.py / eval.py must apply the platform env before importing the CLI
     module tree, so JAX_PLATFORMS=cpu wins over the sitecustomize TPU pin."""

@@ -62,6 +62,7 @@ def test_resample_concentrates(rng):
     assert np.all(np.diff(np.asarray(out), axis=-1) >= 0)
 
 
+@pytest.mark.slow
 def test_hash_proposal_training(rng):
     """Full NGP-class config: hash main field + proposal sampler trains and
     the interlevel loss decreases."""

@@ -221,6 +221,7 @@ def test_lr_default_resolves_per_encoding(tmp_path):
         make_dirs=False).lr == 3e-3
 
 
+@pytest.mark.slow
 def test_cli_watchdog_recovers_from_hang(dfc269_root, tmp_path, monkeypatch):
     """--watchdog N: a mid-run hang (mocked via SPNERF_TEST_HANG_ONCE) is
     detected by metrics.jsonl silence, the child is killed, and a relaunch
