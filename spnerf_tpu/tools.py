@@ -153,6 +153,72 @@ def _cmd_render(args):
                       **{k: round(v, 4) for k, v in mean.items()}}))
 
 
+def _cmd_summarize_runs(args):
+    """One table over training runs: per run dir, the recorded flags of
+    interest, sustained throughput, and final per-view validation metrics
+    (from logs/metrics.jsonl). Beyond the reference (which has no run
+    bookkeeping at all); the offline evaluator remains `python eval.py`."""
+    import numpy as np
+
+    rows = []
+    run_dirs = []
+    for d in args.run_dir:
+        mpath = os.path.join(d, "logs", "metrics.jsonl")
+        if os.path.exists(mpath):
+            run_dirs.append(d)
+        else:
+            run_dirs.extend(sorted(
+                p for p in glob.glob(os.path.join(d, "*"))
+                if os.path.exists(os.path.join(p, "logs", "metrics.jsonl"))))
+    for d in run_dirs:
+        name = os.path.basename(os.path.normpath(d))
+        opts = {}
+        opath = os.path.join(d, "logs", "opts.json")
+        if os.path.exists(opath):
+            with open(opath) as f:
+                opts = json.load(f)
+        last_step, rays, finals = 0, [], {}
+        with open(os.path.join(d, "logs", "metrics.jsonl")) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                split = rec.get("split", "")
+                step = int(rec.get("step", 0))
+                if split == "train":
+                    last_step = max(last_step, step)
+                    if "rays_per_sec" in rec:
+                        rays.append(float(rec["rays_per_sec"]))
+                elif split.startswith("val_"):
+                    # keep the NEWEST record per view
+                    view = split[4:]
+                    if step >= finals.get(view, (0, None))[0]:
+                        finals[view] = (step, rec)
+        # sustained rate: median of logged windows (first window includes
+        # compile time, validation-adjacent windows run short)
+        rate = float(np.median(rays)) if rays else float("nan")
+        row = {"run": name, "steps": last_step, "rays_per_sec": round(rate),
+               "encoding": opts.get("encoding", "?"),
+               "views": {}}
+        for view, (step, rec) in sorted(finals.items()):
+            row["views"][view] = {k: round(float(rec[k]), 3)
+                                  for k in ("psnr", "ssim", "mae")
+                                  if k in rec and np.isfinite(rec[k])}
+        rows.append(row)
+    if args.json:
+        print(json.dumps(rows))
+        return
+    for row in rows:
+        views = "  ".join(
+            f"{v.split('_')[-2]}: "
+            + "/".join(str(m.get(k, "—")) for k in ("psnr", "ssim", "mae"))
+            for v, m in row["views"].items())
+        print(f"{row['run']:<16} {row['encoding']:<6} "
+              f"step {row['steps']:<6} {row['rays_per_sec']:>7,} rays/s  "
+              f"{views}")
+
+
 def _cmd_warm_cache(args):
     """Pre-compile the steady-state training programs into the persistent XLA
     compilation cache (~/.cache/spnerf_jax).
@@ -296,6 +362,17 @@ def build_parser():
                     help="write logs/{val,train}/... outputs here instead "
                          "of the run's own logs dir")
     rd.set_defaults(fn=_cmd_render)
+
+    sr = sub.add_parser(
+        "summarize-runs",
+        help="tabulate throughput + final per-view validation metrics "
+             "across training run dirs (reads logs/metrics.jsonl)")
+    sr.add_argument("run_dir", nargs="+",
+                    help="run dirs (<project>/output/<exp>) or a parent "
+                         "output/ dir to scan")
+    sr.add_argument("--json", action="store_true",
+                    help="machine-readable output")
+    sr.set_defaults(fn=_cmd_summarize_runs)
 
     wc = sub.add_parser(
         "warm-cache",

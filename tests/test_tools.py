@@ -135,3 +135,35 @@ def test_render_from_checkpoint(tmp_path, dfc269_root, capsys):
                  "semantic"):
         p = out_dir / "val" / kind / f"JAX_269_023_RGB_epoch{epoch}.tif"
         assert p.exists(), p
+
+
+def test_summarize_runs(tmp_path, capsys):
+    """`tools summarize-runs` tabulates throughput + newest per-view val
+    metrics from logs/metrics.jsonl (run bookkeeping beyond the reference)."""
+    logs = tmp_path / "runA" / "logs"
+    logs.mkdir(parents=True)
+    (logs / "opts.json").write_text(json.dumps({"encoding": "hash"}))
+    recs = [
+        {"step": 38, "split": "train", "psnr": 18.0, "rays_per_sec": 400.0},
+        {"step": 76, "split": "train", "psnr": 20.0, "rays_per_sec": 6000.0},
+        {"step": 76, "split": "val_JAX_269_023_RGB", "psnr": 19.0,
+         "ssim": 0.50, "mae": 2.5},
+        {"step": 114, "split": "train", "psnr": 21.0, "rays_per_sec": 6100.0},
+        {"step": 114, "split": "val_JAX_269_023_RGB", "psnr": 20.1,
+         "ssim": 0.55, "mae": 1.5},
+        {"step": 114, "split": "val", "psnr": 20.1, "ssim": 0.55, "mae": 1.5},
+    ]
+    (logs / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs))
+    # scan the PARENT dir; --json output
+    main(["summarize-runs", str(tmp_path), "--json"])
+    rows = json.loads(capsys.readouterr().out.strip())
+    assert len(rows) == 1 and rows[0]["run"] == "runA"
+    assert rows[0]["steps"] == 114
+    assert rows[0]["rays_per_sec"] == 6000  # median skips the compile window
+    view = rows[0]["views"]["JAX_269_023_RGB"]
+    assert view == {"psnr": 20.1, "ssim": 0.55, "mae": 1.5}  # newest wins
+    # human-readable table on a direct run dir
+    main(["summarize-runs", str(tmp_path / "runA")])
+    out = capsys.readouterr().out
+    assert "runA" in out and "hash" in out and "20.1" in out
