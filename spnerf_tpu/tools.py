@@ -111,6 +111,12 @@ def _cmd_render(args):
         rargs.gt_dir = os.path.join(args.dataset_dir, "Truth")
     if args.chunk:
         rargs.chunk = args.chunk
+    if args.img_downscale:
+        # render at a different resolution than training: the field is
+        # resolution-independent (rays come from the RPC at the requested
+        # scale; scene normalization is fixed by the recorded scene.loc),
+        # so a ds2-trained model can render its DSM from full-res rays
+        rargs.img_downscale = float(args.img_downscale)
     if args.out_dir:
         rargs.logs_dir = args.out_dir
     os.makedirs(rargs.logs_dir, exist_ok=True)
@@ -355,6 +361,10 @@ def build_parser():
                          "have used)")
     rd.add_argument("--chunk", type=int, default=None,
                     help="override the recorded render chunk size")
+    rd.add_argument("--img_downscale", type=float, default=None,
+                    help="render at this downscale instead of the training "
+                         "one (e.g. 1 to extract a full-resolution DSM from "
+                         "a ds2-trained model)")
     rd.add_argument("--dataset_dir", type=str, default=None,
                     help="override the recorded dataset location "
                          "(relocated runs)")

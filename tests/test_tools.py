@@ -136,6 +136,19 @@ def test_render_from_checkpoint(tmp_path, dfc269_root, capsys):
         p = out_dir / "val" / kind / f"JAX_269_023_RGB_epoch{epoch}.tif"
         assert p.exists(), p
 
+    # cross-resolution render: the ds8-trained model renders ds16 rays (the
+    # field is resolution-independent; scene.loc normalization is recorded
+    # per dataset, not per downscale)
+    out16 = tmp_path / "rendered16"
+    main(["render", "--run_dir", str(run_dir), "--out_dir", str(out16),
+          "--chunk", "4096", "--img_downscale", "16"])
+    m16 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(m16["psnr"]) and np.isfinite(m16["mae"])
+    from spnerf_tpu.io import read_geotiff as _rg
+    half = _rg(str(out16 / "val" / "rgb" / f"JAX_269_023_RGB_epoch{epoch}.tif"))[0]
+    full = _rg(str(out_dir / "val" / "rgb" / f"JAX_269_023_RGB_epoch{epoch}.tif"))[0]
+    assert half.shape[0] * 2 - full.shape[0] in (0, 1, -1)
+
 
 def test_summarize_runs(tmp_path, capsys):
     """`tools summarize-runs` tabulates throughput + newest per-view val
