@@ -117,6 +117,10 @@ def _cmd_render(args):
         # scale; scene normalization is fixed by the recorded scene.loc),
         # so a ds2-trained model can render its DSM from full-res rays
         rargs.img_downscale = float(args.img_downscale)
+    if args.n_samples:
+        # denser ray marching at eval only — the field is sample-agnostic;
+        # more samples sharpen the composited depth the DSM is splatted from
+        rargs.n_samples = int(args.n_samples)
     if args.out_dir:
         rargs.logs_dir = args.out_dir
     os.makedirs(rargs.logs_dir, exist_ok=True)
@@ -365,6 +369,9 @@ def build_parser():
                     help="render at this downscale instead of the training "
                          "one (e.g. 1 to extract a full-resolution DSM from "
                          "a ds2-trained model)")
+    rd.add_argument("--n_samples", type=int, default=None,
+                    help="coarse samples per ray at render time (denser "
+                         "marching than training sharpens the depth/DSM)")
     rd.add_argument("--dataset_dir", type=str, default=None,
                     help="override the recorded dataset location "
                          "(relocated runs)")

@@ -141,7 +141,7 @@ def test_render_from_checkpoint(tmp_path, dfc269_root, capsys):
     # per dataset, not per downscale)
     out16 = tmp_path / "rendered16"
     main(["render", "--run_dir", str(run_dir), "--out_dir", str(out16),
-          "--chunk", "4096", "--img_downscale", "16"])
+          "--chunk", "4096", "--img_downscale", "16", "--n_samples", "8"])
     m16 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(m16["psnr"]) and np.isfinite(m16["mae"])
     from spnerf_tpu.io import read_geotiff as _rg
