@@ -123,6 +123,20 @@ def _scene_t_vocab(scene):
     return need
 
 
+def _val_labels(items):
+    """Per-item log labels for validation records. Multi-AOI runs can repeat
+    an AOI (disjoint frame copies), which repeats image ids verbatim in the
+    val log / metrics.jsonl; suffix a frame index so per-frame rows stay
+    distinguishable. Unique ids (single-AOI, distinct AOIs) are unchanged."""
+    frame_of, counts = {}, {}
+    for _, sub, rec in items:
+        frame_of.setdefault(id(sub), len(frame_of))
+        counts[rec.img_id] = counts.get(rec.img_id, 0) + 1
+    return [rec.img_id if counts[rec.img_id] == 1
+            else f"{rec.img_id}.f{frame_of[id(sub)]}"
+            for _, sub, rec in items]
+
+
 def run_validation(trainer, scene, state, args, epoch, logger, save_images):
     """Render every validation image; log PSNR/SSIM/MAE
     (reference validation_step, main.py:188-299). `scene` is a SatelliteScene
@@ -134,6 +148,7 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
         items = list(scene.validation_items())
     else:
         items = [(args.aoi_id, scene, rec) for rec in scene.val_images]
+    labels = _val_labels(items)
     for i, (aoi_id, sub_scene, rec) in enumerate(items):
         gt_dir = (_aoi_dirs(args, aoi_id)["gt_dir"]
                   if "," in args.aoi_id else args.gt_dir)
@@ -218,12 +233,12 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
                                              args.num_sem_classes))
                 scalars["oa"] = float(overall_accuracy(pred_sem[labeled],
                                                        gt_sem[labeled]))
-        logger.log(int(state.step), scalars, split=f"{split}_{rec.img_id}")
+        logger.log(int(state.step), scalars, split=f"{split}_{labels[i]}")
         if split == "val":
             all_scalars.append(scalars)
         sem_str = (f" miou {scalars['miou']:.3f} oa {scalars['oa']:.3f}"
                    if "miou" in scalars else "")
-        print(f"[val e{epoch}] {rec.img_id}: psnr {psnr_v:.2f} ssim {ssim_v:.3f} "
+        print(f"[val e{epoch}] {labels[i]}: psnr {psnr_v:.2f} ssim {ssim_v:.3f} "
               f"mae {mae_v:.3f}{sem_str}")
 
     keys = ("psnr", "ssim", "mae") + (

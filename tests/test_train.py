@@ -299,3 +299,28 @@ def test_cli_auto_resume(dfc269_root, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "nothing to do" in out
     assert int(state3.step) == 40
+
+
+def test_val_labels_disambiguate_repeated_frames():
+    """Multi-AOI frame copies repeat image ids; labels get a frame suffix.
+    Unique ids (single-AOI or distinct AOIs) pass through unchanged."""
+    from types import SimpleNamespace as NS
+
+    from spnerf_tpu.cli.train import _val_labels
+
+    s1, s2 = object(), object()
+    rec = lambda i: NS(img_id=i)
+
+    # single scene, unique ids: unchanged
+    items = [("A", s1, rec("A_006")), ("A", s1, rec("A_011"))]
+    assert _val_labels(items) == ["A_006", "A_011"]
+
+    # dual copies of one AOI: every repeated id gains its scene's frame index
+    items = [("A", s1, rec("A_006")), ("A", s1, rec("A_011")),
+             ("A", s2, rec("A_006")), ("A", s2, rec("A_011"))]
+    assert _val_labels(items) == ["A_006.f0", "A_011.f0",
+                                  "A_006.f1", "A_011.f1"]
+
+    # distinct AOIs with distinct ids: unchanged even though scenes differ
+    items = [("A", s1, rec("A_006")), ("B", s2, rec("B_004"))]
+    assert _val_labels(items) == ["A_006", "B_004"]
