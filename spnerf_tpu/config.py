@@ -246,8 +246,12 @@ def build_train_parser():
                         "depth supervision at short schedules (anneal 1000 "
                         "on the 3k tuned-depth run: MAE 1.54/1.66 vs "
                         "1.08/1.12 m control) — geometry converges early "
-                        "under depth guidance and the ramp only delays it; "
-                        "intended for depth-free runs")
+                        "under depth guidance and the ramp only delays it. "
+                        "ALSO negative depth-free (--proposal 2k: MAE "
+                        "4.65/4.61 vs 2.67/2.73 control; poses are "
+                        "RPC-calibrated, so the BARF pose-ambiguity "
+                        "rationale never applies). Kept opt-in for "
+                        "non-DFC scenes")
     p.add_argument("--hash_table_wd", type=float, default=0.0,
                    help="AdamW-style decoupled weight decay on the hash "
                         "TABLE rows only (0 = off; trunk/heads always plain "
@@ -285,10 +289,12 @@ def build_train_parser():
                    help="uniform exploration floor per bin (keeps "
                         "empty-looking space sampled so wrong grids "
                         "recover). Measured on the v5e: 0.01 is right for "
-                        "the siren flagship; --encoding hash needs 0.1 "
-                        "(floor 0.01 costs ~0.8 m DSM MAE, 0.1 is "
-                        "photometric-positive at MAE parity, 0.3 regresses "
-                        "again — README)")
+                        "the siren flagship. On --encoding hash the grid "
+                        "is measured-negative at useful schedules even at "
+                        "the best floor (0.1 rescues 3k but loses 0.4 m "
+                        "MAE at 10k; 0.01 costs ~0.8 m at 3k; 0.3 "
+                        "regresses) — treat --occgrid as flagship-only "
+                        "(README)")
     p.add_argument("--occ_rows", type=int, default=4096,
                    help="grid cells refreshed per train step (one contiguous "
                         "slab; snapped down to a divisor of occ_res^3)")
