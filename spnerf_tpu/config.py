@@ -47,6 +47,12 @@ class ModelConfig:
     hash_features: int = 4
     hash_log2T: int = 19
     hash_impl: str = "auto"  # "auto" | "xla" | "sorted_vjp" | "matmul_vjp" | "fused_vjp"
+    # width of the NGP-style trunk/head MLPs (reference counterpart: the
+    # Instant-NGP "small MLP" — 64 is NGP-classic). The hash step is
+    # gather-bound on the v5e, so wider trunks are nearly free; a capacity
+    # knob for scenes the 64-wide trunk underfits (e.g. multi-AOI, where
+    # the trunk+heads are shared across disjoint frames)
+    hash_hidden: int = 64
     hash_frames: int = 1  # disjoint multi-AOI frames (data/multi.py)
     # NGP direct (collision-free) indexing for levels whose dense grid fits
     # the table; False reproduces round<=2 checkpoints (hash everywhere)
@@ -232,6 +238,11 @@ def build_train_parser():
                    help="hash encoding: features per level")
     p.add_argument("--hash_log2T", type=int, default=19,
                    help="hash encoding: log2 of the per-level table size")
+    p.add_argument("--hash_hidden", type=int, default=64,
+                   help="hash trunk/head MLP width (NGP-classic 64). The "
+                        "hash step is gather-bound on TPU, so wider trunks "
+                        "cost little — a capacity knob for scenes 64 "
+                        "underfits (e.g. multi-AOI shared trunks)")
     p.add_argument("--hash_impl", type=str, default="auto",
                    choices=["auto", "xla", "sorted_vjp", "matmul_vjp",
                             "fused_vjp"],
@@ -426,6 +437,7 @@ def model_config_from_args(args) -> ModelConfig:
         hash_levels=getattr(args, "hash_levels", 8),
         hash_features=getattr(args, "hash_features", 4),
         hash_log2T=getattr(args, "hash_log2T", 19),
+        hash_hidden=getattr(args, "hash_hidden", 64),
         hash_impl=getattr(args, "hash_impl", "auto"),
         hash_direct_coarse=not getattr(args, "no_hash_direct_coarse", False),
         hash_flat_table=not getattr(args, "no_hash_flat_table", False),

@@ -36,6 +36,7 @@ def load_model(cfg, compute_dtype=None, hash_impl=None):
                           n_levels=getattr(cfg, "hash_levels", 16),
                           n_features=getattr(cfg, "hash_features", 2),
                           log2_table_size=getattr(cfg, "hash_log2T", 19),
+                          hidden=getattr(cfg, "hash_hidden", 64),
                           frames=getattr(cfg, "hash_frames", 1),
                           direct_coarse=getattr(cfg, "hash_direct_coarse",
                                                 True),

@@ -730,3 +730,30 @@ def test_interp_lerp_custom_vjp_matches_einsum_grads(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_hash_hidden_width_knob(rng):
+    """--hash_hidden widens the NGP trunk/head MLPs (capacity knob; the
+    step is gather-bound so width is nearly free on TPU). Default 64
+    matches NGP-classic and pre-flag checkpoints."""
+    from spnerf_tpu.models import load_model
+
+    n = 17
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
+    sun = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    widths = {}
+    for hidden in (64, 96):
+        cfg = ModelConfig(encoding="hash", sem=False, hash_levels=4,
+                          hash_log2T=12, hash_hidden=hidden)
+        model = load_model(cfg, hash_impl="xla")
+        params = model.init(jax.random.PRNGKey(0), xyz, sun, None, None)
+        out = model.apply(params, xyz, sun, None, None)
+        assert out["rgb"].shape == (n, 3)
+        from flax.traverse_util import flatten_dict
+
+        kernels = [v.shape for k, v in flatten_dict(params["params"]).items()
+                   if k[-1] == "kernel"]
+        widths[hidden] = max(s[1] for s in kernels)
+    assert widths[64] == 64
+    assert widths[96] == 96
