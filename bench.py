@@ -17,8 +17,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-import numpy as np
-
 BASELINE_RAYS_PER_SEC_PER_CHIP = 6400.0
 
 

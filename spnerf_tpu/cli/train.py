@@ -123,6 +123,17 @@ def _scene_t_vocab(scene):
     return need
 
 
+def _val_metrics(mean):
+    """Checkpoint metrics dict from a validation summary. A NaN val_psnr
+    (validation produced no val rows) would sort ABOVE real metrics in
+    orbax's best_fn ordering; substitute -inf so metric-less saves never
+    outrank real ones in `best_step()` / `tools render --step best`."""
+    psnr_v = mean.get("psnr", float("nan"))
+    if psnr_v != psnr_v:  # NaN
+        psnr_v = float("-inf")
+    return {"val_psnr": float(psnr_v)}
+
+
 def _val_labels(items):
     """Per-item log labels for validation records. Multi-AOI runs can repeat
     an AOI (disjoint frame copies), which repeats image ids verbatim in the
@@ -188,7 +199,7 @@ def run_validation(trainer, scene, state, args, epoch, logger, save_images):
 
         if save_images:
             save_nerf_output_to_images(sub_scene, sample, out, out_dir, epoch,
-                                       args.num_sem_classes)
+                                       args.num_sem_classes, label=labels[i])
 
         # TensorBoard image grid: GT / prediction / depth (+ sem colors),
         # like reference main.py:221-250
@@ -485,8 +496,7 @@ def main(argv=None):
             save_images = epoch % args.save_every_n_epochs == 0
             mean = run_validation(trainer, scene, state, args, epoch, logger,
                                   save_images)
-            ckpt.save(step, state,
-                      metrics={"val_psnr": mean.get("psnr", float("nan"))})
+            ckpt.save(step, state, metrics=_val_metrics(mean))
             last_saved_step = step
         t0 = time.time()
 
@@ -497,8 +507,7 @@ def main(argv=None):
         mean = run_validation(trainer, scene, state, args,
                               args.max_train_steps // steps_per_epoch, logger,
                               True)
-        ckpt.save(args.max_train_steps, state,
-                  metrics={"val_psnr": mean.get("psnr", float("nan"))})
+        ckpt.save(args.max_train_steps, state, metrics=_val_metrics(mean))
     logger.close()
     # surface best-by-val_psnr vs latest (reference ModelCheckpoint prints the
     # best ckpt path at the end, /root/reference/main.py:315-320)

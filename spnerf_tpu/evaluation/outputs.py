@@ -102,14 +102,16 @@ def _composited(results, typ, key):
 
 
 def save_nerf_output_to_images(scene, sample, results, out_dir, epoch_number,
-                               num_sem_classes):
+                               num_sem_classes, label=None):
     """Write the full set of per-image outputs for one rendered view.
 
     scene: SatelliteScene (for DSM extraction); sample: dict with rays (R,11),
-    rgbs (R,3), src_id, h, w; results: renderer output dict (numpy)."""
+    rgbs (R,3), src_id, h, w; results: renderer output dict (numpy). `label`
+    overrides the filename stem — multi-AOI runs with repeated frames pass a
+    disambiguated per-frame label so frame copies don't overwrite each other."""
     rays = np.asarray(sample["rays"])
     rgbs = np.asarray(sample["rgbs"])
-    src_id = sample["src_id"]
+    src_id = label or sample["src_id"]
     h, w = int(sample["h"]), int(sample["w"])
     typ = "fine" if "rgb_fine" in results else "coarse"
 

@@ -63,18 +63,26 @@ def _load_native():
     if not os.path.exists(lib_path) and not _try_build_native(lib_path):
         _NATIVE = False
         return False
-    lib = ctypes.CDLL(lib_path)
-    lib.dsmr_compute_shift.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-    ]
-    lib.dsmr_apply_shift.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_double, ctypes.c_double,
-    ]
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.dsmr_compute_shift.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dsmr_apply_shift.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+        ]
+    except (OSError, AttributeError):
+        # a freshly built lib can still fail to dlopen (toolchain/ABI
+        # mismatch, e.g. -march=native artifacts moved across hosts) or lack
+        # the expected symbols; fall back to the numpy registration path
+        # instead of crashing MAE evaluation
+        _NATIVE = False
+        return False
     _NATIVE = lib
     return lib
 

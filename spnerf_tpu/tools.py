@@ -219,9 +219,21 @@ def _cmd_summarize_runs(args):
     if args.json:
         print(json.dumps(rows))
         return
+    def _view_label(v):
+        # "JAX_269_011_RGB" -> "011"; keep any multi-AOI ".fN" frame suffix
+        # ("JAX_269_011_RGB.f1" -> "011.f1"); fall back to the full name for
+        # ids with fewer than two '_'-separated parts.
+        parts = v.split("_")
+        if len(parts) < 2:
+            return v
+        label = parts[-2]
+        if "." in parts[-1]:
+            label += parts[-1][parts[-1].index("."):]
+        return label
+
     for row in rows:
         views = "  ".join(
-            f"{v.split('_')[-2]}: "
+            f"{_view_label(v)}: "
             + "/".join(str(m.get(k, "—")) for k in ("psnr", "ssim", "mae"))
             for v, m in row["views"].items())
         print(f"{row['run']:<16} {row['encoding']:<6} "

@@ -165,6 +165,12 @@ def test_summarize_runs(tmp_path, capsys):
         {"step": 114, "split": "val_JAX_269_023_RGB", "psnr": 20.1,
          "ssim": 0.55, "mae": 1.5},
         {"step": 114, "split": "val", "psnr": 20.1, "ssim": 0.55, "mae": 1.5},
+        # multi-AOI frame copy (".fN" suffix) and a short id with <2 '_' parts:
+        # the table label keeps the frame suffix / falls back to the full name
+        {"step": 114, "split": "val_JAX_269_011_RGB.f1", "psnr": 19.9,
+         "ssim": 0.52, "mae": 1.7},
+        {"step": 114, "split": "val_short", "psnr": 18.5,
+         "ssim": 0.40, "mae": 3.0},
     ]
     (logs / "metrics.jsonl").write_text(
         "\n".join(json.dumps(r) for r in recs))
@@ -180,3 +186,5 @@ def test_summarize_runs(tmp_path, capsys):
     main(["summarize-runs", str(tmp_path / "runA")])
     out = capsys.readouterr().out
     assert "runA" in out and "hash" in out and "20.1" in out
+    assert "011.f1:" in out   # frame suffix preserved, not collapsed to "011"
+    assert "short:" in out    # <2 '_' parts falls back to the full view name

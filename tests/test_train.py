@@ -324,3 +324,16 @@ def test_val_labels_disambiguate_repeated_frames():
     # distinct AOIs with distinct ids: unchanged even though scenes differ
     items = [("A", s1, rec("A_006")), ("B", s2, rec("B_004"))]
     assert _val_labels(items) == ["A_006", "B_004"]
+
+
+def test_val_metrics_nan_never_outranks_real():
+    """A validation pass with no val rows yields NaN psnr; the checkpoint
+    metric substitutes -inf so orbax's best_fn (max val_psnr) never ranks a
+    metric-less save above a real one (ADVICE r4: NaN sorted first)."""
+    from spnerf_tpu.cli.train import _val_metrics
+
+    assert _val_metrics({"psnr": 21.5}) == {"val_psnr": 21.5}
+    assert _val_metrics({})["val_psnr"] == float("-inf")
+    assert _val_metrics({"psnr": float("nan")})["val_psnr"] == float("-inf")
+    # and the ordering orbax applies is now well-defined:
+    assert _val_metrics({"psnr": 1.0})["val_psnr"] > _val_metrics({})["val_psnr"]
