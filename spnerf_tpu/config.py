@@ -242,7 +242,10 @@ def build_train_parser():
                    help="hash trunk/head MLP width (NGP-classic 64). The "
                         "hash step is gather-bound on TPU, so wider trunks "
                         "cost little — a capacity knob for scenes 64 "
-                        "underfits (e.g. multi-AOI shared trunks)")
+                        "underfits. Measured: 128 closes the multi-AOI "
+                        "dual-frame gap entirely (1.05/1.09 vs 1.38/1.49 m "
+                        "MAE) at equal speed; use 128 for multi-frame "
+                        "--aoi_id runs")
     p.add_argument("--hash_impl", type=str, default="auto",
                    choices=["auto", "xla", "sorted_vjp", "matmul_vjp",
                             "fused_vjp"],
