@@ -266,6 +266,12 @@ def build_train_parser():
                         "RPC-calibrated, so the BARF pose-ambiguity "
                         "rationale never applies). Kept opt-in for "
                         "non-DFC scenes")
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="AdamW-style decoupled weight decay on ALL "
+                        "parameters (0 = off, the reference's plain-Adam "
+                        "behavior). Generic counterpart of --hash_table_wd "
+                        "for the Siren family; composes with it (table rows "
+                        "then decay at the sum)")
     p.add_argument("--hash_table_wd", type=float, default=0.0,
                    help="AdamW-style decoupled weight decay on the hash "
                         "TABLE rows only (0 = off; trunk/heads always plain "

@@ -92,10 +92,10 @@ def _scale_table_levels(gamma, n_levels):
 
 
 def make_optimizer(lr_schedule, table_wd=0.0, table_level_lr_decay=1.0,
-                   n_levels=8):
-    """Adam (torch-default hyperparams), optionally with hash-table-only
-    regularizers (both default OFF — the plain `optax.adam` path is kept
-    bitwise identical, and its opt_state layout checkpoint-compatible):
+                   n_levels=8, weight_decay=0.0):
+    """Adam (torch-default hyperparams), optionally with regularizers
+    (all default OFF — the plain `optax.adam` path is kept bitwise
+    identical, and its opt_state layout checkpoint-compatible):
 
       * table_wd: AdamW-style decoupled weight decay on the table rows only
         (decay added after Adam scaling, multiplied by the lr schedule) —
@@ -103,14 +103,21 @@ def make_optimizer(lr_schedule, table_wd=0.0, table_level_lr_decay=1.0,
       * table_level_lr_decay: gamma < 1 scales level l's effective lr by
         gamma**l so finer (higher-frequency) levels step slower — a
         smoothness prior on the multires pyramid.
+      * weight_decay: AdamW-style decoupled decay on EVERY parameter (the
+        reference trains plain Adam, main.py:151; this is the generic
+        counterpart of the table-only knob above — measured a DSM win on
+        the hash family, so exposed for the Siren family too). Composes
+        with table_wd: table rows then decay at table_wd + weight_decay.
     """
-    if table_wd == 0.0 and table_level_lr_decay == 1.0:
+    if table_wd == 0.0 and table_level_lr_decay == 1.0 and weight_decay == 0.0:
         return optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
     chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
     if table_level_lr_decay != 1.0:
         chain.append(_scale_table_levels(table_level_lr_decay, n_levels))
     if table_wd != 0.0:
         chain.append(optax.add_decayed_weights(table_wd, mask=_table_mask))
+    if weight_decay != 0.0:
+        chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*chain)
 
@@ -182,6 +189,7 @@ class Trainer:
         donate=True,
         table_wd=0.0,
         table_level_lr_decay=1.0,
+        weight_decay=0.0,
         occ_rows=4096,
         occ_decay=0.8,
         compiler_options=None,
@@ -246,7 +254,8 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
         self.tx = make_optimizer(self.lr_schedule, table_wd=table_wd,
                                  table_level_lr_decay=table_level_lr_decay,
-                                 n_levels=mc.hash_levels)
+                                 n_levels=mc.hash_levels,
+                                 weight_decay=weight_decay)
         self._train_step = None
         self._render_fn = None
 

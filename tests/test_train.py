@@ -337,3 +337,41 @@ def test_val_metrics_nan_never_outranks_real():
     assert _val_metrics({"psnr": float("nan")})["val_psnr"] == float("-inf")
     # and the ordering orbax applies is now well-defined:
     assert _val_metrics({"psnr": 1.0})["val_psnr"] > _val_metrics({})["val_psnr"]
+
+
+def test_weight_decay_decoupled_semantics():
+    """--weight_decay: AdamW-style decay on every leaf — with zero gradient,
+    one step shrinks a param by exactly lr * wd * param (decay is added after
+    Adam scaling and multiplied by the lr schedule). The table-only knob
+    composes: table rows decay at table_wd + weight_decay."""
+    import optax
+
+    from spnerf_tpu.train.loop import make_optimizer
+
+    lr, wd, twd = 0.01, 0.1, 0.2
+    params = {"dense": jnp.ones((3,)), "table": 2.0 * jnp.ones((4,))}
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    tx = make_optimizer(lambda step: lr, weight_decay=wd)
+    st = tx.init(params)
+    upd, _ = tx.update(zeros, st, params)
+    new = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(new["dense"], (1 - lr * wd) * np.ones(3),
+                               rtol=1e-6)
+    np.testing.assert_allclose(new["table"], (1 - lr * wd) * 2 * np.ones(4),
+                               rtol=1e-6)
+
+    tx2 = make_optimizer(lambda step: lr, table_wd=twd, weight_decay=wd)
+    st2 = tx2.init(params)
+    upd2, _ = tx2.update(zeros, st2, params)
+    new2 = optax.apply_updates(params, upd2)
+    np.testing.assert_allclose(new2["dense"], (1 - lr * wd) * np.ones(3),
+                               rtol=1e-6)
+    np.testing.assert_allclose(new2["table"],
+                               (1 - lr * (wd + twd)) * 2 * np.ones(4),
+                               rtol=1e-6)
+
+    # default path stays the plain optax.adam transformation (state layout
+    # checkpoint-compatible with every pre-flag run)
+    tx3 = make_optimizer(lambda step: lr)
+    assert isinstance(tx3.init(params), tuple) and len(tx3.init(params)) == 2
