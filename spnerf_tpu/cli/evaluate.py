@@ -10,6 +10,7 @@ and mean metrics.
 
 import argparse
 import os
+import re
 
 import numpy as np
 
@@ -127,12 +128,17 @@ def eval_aoi(args):
              "oa": []}
     for fname in files:
         src_id = fname[: -len(suffix)]
-        aoi_id = "_".join(src_id.split("_")[:2])
+        # multi-AOI runs with repeated frames save views under a ".fN"
+        # frame-suffixed label (cli/train._val_labels); the dataset's GT
+        # files carry the bare image id — strip the suffix for GT lookups
+        # while keeping src_id for the per-view output naming
+        gt_id = re.sub(r"\.f\d+$", "", src_id)
+        aoi_id = "_".join(gt_id.split("_")[:2])
         pred_dsm_path = os.path.join(pred_dsm_dir, fname)
         pred_rgb_path = os.path.join(pred_rgb_dir, f"{src_id}{suffix}")
         gt_dsm_path = os.path.join(gt_dsm_dir, f"{aoi_id}_DSM.tif")
         gt_roi_path = os.path.join(gt_dsm_dir, f"{aoi_id}_DSM.txt")
-        gt_rgb_path = os.path.join(gt_rgb_base, aoi_id, f"{src_id}.tif")
+        gt_rgb_path = os.path.join(gt_rgb_base, aoi_id, f"{gt_id}.tif")
         missing = [p for p in (pred_rgb_path, gt_dsm_path, gt_roi_path,
                                gt_rgb_path) if not os.path.exists(p)]
         if missing:

@@ -277,3 +277,27 @@ def test_raw_tiff_reader_roundtrip(tmp_path, rng):
     import imageio.v3 as iio
 
     np.testing.assert_allclose(iio.imread(path), arr)
+
+
+def test_eval_cli_frame_suffixed_outputs(tmp_path, rng, monkeypatch):
+    """Multi-AOI repeated-frame runs save views under '.fN' labels
+    (cli/train._val_labels); the offline evaluator must strip the suffix for
+    GT lookups instead of skipping every per-frame view."""
+    import shutil
+
+    from spnerf_tpu.cli.evaluate import main as eval_main
+
+    proj, dataset, epoch = _make_eval_project(tmp_path, rng)
+    logs = proj / "output" / "exp" / "logs"
+    # rename the saved outputs to the frame-suffixed form a dual-frame run
+    # produces; the dataset GT keeps the bare image id
+    for sub in ("dsm", "rgb"):
+        src = logs / "val" / sub / f"JAX_999_042_epoch{epoch}.tif"
+        shutil.move(str(src),
+                    str(logs / "val" / sub / f"JAX_999_042.f1_epoch{epoch}.tif"))
+    monkeypatch.delenv("SPNERF_LPIPS_WEIGHTS", raising=False)
+    out = eval_main(["--project_dir", str(proj), "--exp_name", "exp",
+                     "--dataset_dir", str(dataset),
+                     "--epoch_number", str(epoch), "--skip_lpips"])
+    assert np.isfinite(out["psnr"]) and out["psnr"] > 20
+    assert np.isfinite(out["mae"]) and out["mae"] < 0.2
