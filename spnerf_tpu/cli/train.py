@@ -90,6 +90,7 @@ def build_trainer_and_scene(args, mesh=None):
         render_config_from_args(args),
         loss_config_from_args(args),
         lr=args.lr,
+        lr_gamma=getattr(args, "lr_gamma", 0.9),
         steps_per_epoch=steps_per_epoch,
         max_steps=args.max_train_steps,
         ds_drop=args.ds_drop,

@@ -266,6 +266,15 @@ def build_train_parser():
                         "RPC-calibrated, so the BARF pose-ambiguity "
                         "rationale never applies). Kept opt-in for "
                         "non-DFC scenes")
+    p.add_argument("--lr_gamma", type=float, default=0.9,
+                   help="per-EPOCH StepLR decay factor (reference "
+                        "modules/utils.py:317-318 hard-codes 0.9). The "
+                        "per-epoch schedule couples lr to dataset size: at "
+                        "--img_downscale 1 an epoch is 4x the ds2 rays, so "
+                        "an equal step budget sees 4x fewer decays and "
+                        "trains ~5x hotter late (measured to collapse "
+                        "depth-guided hash geometry at full res); 0.9**4 "
+                        "= 0.656 restores the ds2 per-step trajectory")
     p.add_argument("--weight_decay", type=float, default=0.0,
                    help="AdamW-style decoupled weight decay on ALL "
                         "parameters (0 = off, the reference's plain-Adam "

@@ -47,13 +47,18 @@ class TrainState(struct.PyTreeNode):
     occ: Any = None
 
 
-def make_lr_schedule(lr, steps_per_epoch):
+def make_lr_schedule(lr, steps_per_epoch, gamma=0.9):
     """StepLR(step_size=1 epoch, gamma=0.9) equivalent
-    (reference modules/utils.py:317-318)."""
+    (reference modules/utils.py:317-318). `gamma` is exposed because the
+    per-EPOCH decay couples lr to dataset size: at img_downscale 1 an epoch
+    is 4x the ds2 ray count, so the same step budget sees 4x fewer decays
+    and runs ~5x hotter late in training (measured to collapse depth-guided
+    hash geometry at full res — RESULTS.md); gamma**4 ≈ 0.9 per ds2-epoch
+    restores the ds2 lr-per-step trajectory."""
     return optax.exponential_decay(
         init_value=lr,
         transition_steps=max(int(steps_per_epoch), 1),
-        decay_rate=0.9,
+        decay_rate=float(gamma),
         staircase=True,
     )
 
@@ -179,6 +184,7 @@ class Trainer:
         rc: RenderConfig,
         lc: LossConfig,
         lr=5e-4,
+        lr_gamma=0.9,
         steps_per_epoch=1000,
         max_steps=30000,
         ds_drop=0.25,
@@ -251,7 +257,8 @@ class Trainer:
             self.occ_rows = rows
             self.occ_decay = float(occ_decay)
 
-        self.lr_schedule = make_lr_schedule(lr, steps_per_epoch)
+        self.lr_schedule = make_lr_schedule(lr, steps_per_epoch,
+                                            gamma=lr_gamma)
         self.tx = make_optimizer(self.lr_schedule, table_wd=table_wd,
                                  table_level_lr_decay=table_level_lr_decay,
                                  n_levels=mc.hash_levels,

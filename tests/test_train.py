@@ -375,3 +375,13 @@ def test_weight_decay_decoupled_semantics():
     # checkpoint-compatible with every pre-flag run)
     tx3 = make_optimizer(lambda step: lr)
     assert isinstance(tx3.init(params), tuple) and len(tx3.init(params)) == 2
+
+
+def test_lr_gamma_knob():
+    """--lr_gamma changes the per-epoch StepLR decay; default 0.9 stays the
+    reference schedule (modules/utils.py:317-318)."""
+    sched = make_lr_schedule(1e-2, 100)
+    sched66 = make_lr_schedule(1e-2, 100, gamma=0.656)
+    assert float(sched(0)) == pytest.approx(1e-2)
+    assert float(sched(250)) == pytest.approx(1e-2 * 0.9**2)
+    assert float(sched66(250)) == pytest.approx(1e-2 * 0.656**2)
