@@ -105,6 +105,7 @@ def build_trainer_and_scene(args, mesh=None):
         table_wd=getattr(args, "hash_table_wd", 0.0),
         table_level_lr_decay=getattr(args, "hash_level_lr_decay", 1.0),
         weight_decay=getattr(args, "weight_decay", 0.0),
+        grad_clip=getattr(args, "grad_clip", 0.0),
         occ_rows=getattr(args, "occ_rows", 4096),
         occ_decay=getattr(args, "occ_decay", 0.8),
         compiler_options=parse_xla_opts(getattr(args, "xla_opts", "")),

@@ -266,6 +266,13 @@ def build_train_parser():
                         "RPC-calibrated, so the BARF pose-ambiguity "
                         "rationale never applies). Kept opt-in for "
                         "non-DFC scenes")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping before Adam (0 = "
+                        "off, the reference behavior). Mitigates the "
+                        "measured stochastic albedo-head death at hash "
+                        "lr 1e-2 (one bad early step saturates the head's "
+                        "ReLU+sigmoid; bf16 sigmoid gradients underflow to "
+                        "exactly 0, making it permanent — RESULTS.md)")
     p.add_argument("--lr_gamma", type=float, default=0.9,
                    help="per-EPOCH StepLR decay factor (reference "
                         "modules/utils.py:317-318 hard-codes 0.9). The "

@@ -97,7 +97,7 @@ def _scale_table_levels(gamma, n_levels):
 
 
 def make_optimizer(lr_schedule, table_wd=0.0, table_level_lr_decay=1.0,
-                   n_levels=8, weight_decay=0.0):
+                   n_levels=8, weight_decay=0.0, grad_clip=0.0):
     """Adam (torch-default hyperparams), optionally with regularizers
     (all default OFF — the plain `optax.adam` path is kept bitwise
     identical, and its opt_state layout checkpoint-compatible):
@@ -113,10 +113,18 @@ def make_optimizer(lr_schedule, table_wd=0.0, table_level_lr_decay=1.0,
         counterpart of the table-only knob above — measured a DSM win on
         the hash family, so exposed for the Siren family too). Composes
         with table_wd: table rows then decay at table_wd + weight_decay.
+      * grad_clip: global-norm gradient clipping BEFORE Adam. Mitigation
+        for the measured stochastic head-death at hash lr 1e-2 (one bad
+        early step kills the albedo head's ReLU+sigmoid permanently —
+        RESULTS.md autopsy); 0 = off.
     """
-    if table_wd == 0.0 and table_level_lr_decay == 1.0 and weight_decay == 0.0:
+    if (table_wd == 0.0 and table_level_lr_decay == 1.0
+            and weight_decay == 0.0 and grad_clip == 0.0):
         return optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
-    chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+    chain = []
+    if grad_clip > 0.0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     if table_level_lr_decay != 1.0:
         chain.append(_scale_table_levels(table_level_lr_decay, n_levels))
     if table_wd != 0.0:
@@ -196,6 +204,7 @@ class Trainer:
         table_wd=0.0,
         table_level_lr_decay=1.0,
         weight_decay=0.0,
+        grad_clip=0.0,
         occ_rows=4096,
         occ_decay=0.8,
         compiler_options=None,
@@ -262,7 +271,8 @@ class Trainer:
         self.tx = make_optimizer(self.lr_schedule, table_wd=table_wd,
                                  table_level_lr_decay=table_level_lr_decay,
                                  n_levels=mc.hash_levels,
-                                 weight_decay=weight_decay)
+                                 weight_decay=weight_decay,
+                                 grad_clip=grad_clip)
         self._train_step = None
         self._render_fn = None
 
